@@ -1,0 +1,100 @@
+"""Pipeline configuration.
+
+Mirrors the reference's user-extension surface (CLI flags
+``deduplicate.py:731-746`` and ``DupeAnalysis.__init__`` knobs
+``dupe_analysis.py:17-19``: ``complete_hash``, ``db_root``, ``batch_limit``,
+``excludes``) re-expressed for the Ray engine, plus the new Stage-2/3 knobs
+demanded by the north rule (shingles, MinHash perms, LSH bands, salting,
+checkpoints).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+import hashlib
+import json
+
+
+# The reference pre-assigns the sha1-of-empty constant to zero-size files
+# (dupe_analysis.py:31, :335-340).  Our invariant hash is sha256, so the
+# analogous constant is sha256(b"").
+EMPTY_SHA256 = hashlib.sha256(b"").hexdigest()
+
+# Default exclude globs: the reference ships ['*/@*', '*/.*'] for --synology
+# (dupe_analysis.py:29-30); we keep the same patterns as the default exclude
+# vocabulary, matched against the `path` column.
+DEFAULT_EXCLUDES: tuple[str, ...] = ()
+SYNOLOGY_EXCLUDES: tuple[str, ...] = ("*/@*", "*/.*")
+
+
+@dataclass
+class PipelineConfig:
+    # ---- Stage 1: exact dedup -------------------------------------------
+    #: When True (the reference's default path is cascade; ``complete_hash``
+    #: gates the full read, dupe_analysis.py:374-376) compute the faithful
+    #: size → beg_hash → rev_hash cascade and only full-hash survivors.
+    cascade: bool = False
+    #: Reference ``complete_hash`` (dupe_analysis.py:17): with cascade=True
+    #: and complete_hash=False the final grouping key is rev_hash — which can
+    #: produce false-positive groups (pinned by the cascade_false_positive
+    #: fixture); with complete_hash=True the key is the full hash.
+    complete_hash: bool = True
+    #: Chunk size for the sampled cascade hashes (reference chunk=1024,
+    #: dupe_analysis.py:431).
+    chunk: int = 1024
+    #: fnmatch globs dropped before hashing (dupe_analysis.py:179-181).
+    excludes: tuple[str, ...] = DEFAULT_EXCLUDES
+
+    # ---- Stage 2: MinHash / LSH -----------------------------------------
+    shingle_k: int = 5          # character 5-gram shingles (north_rule)
+    num_perms: int = 128        # MinHash-128 (north_rule)
+    lsh_bands: int = 32         # b bands ...
+    lsh_rows: int = 4           # ... x r rows; b*r must equal num_perms
+    minhash_seed: int = 42
+    #: Jaccard-estimate threshold for candidate-pair verification
+    #: (fraction of equal signature components). <=0 disables verification.
+    verify_threshold: float = 0.5
+    #: Band buckets larger than this are not expanded all-pairs; they emit
+    #: star (to bucket representative) + chain (sorted-adjacent) edges, which
+    #: preserves bucket connectivity for union-find while bounding the edge
+    #: count linearly. Truncations are logged.
+    max_bucket_pairs: int = 64
+    #: Salt buckets bigger than this into sub-buckets for shuffle-skew
+    #: control (north_rule skew clause).
+    salt_threshold: int = 4096
+
+    # ---- Stage 3: substring containment ---------------------------------
+    #: Column used to scope the per-partition suffix-array pass. Containment
+    #: is only detected *within* a partition group — the documented
+    #: partitioning assumption of Stage 3.
+    substring_partition_col: str = "repo"
+    #: Skip containment for contents shorter than this (noise floor).
+    min_containment_len: int = 32
+
+    # ---- execution ------------------------------------------------------
+    batch_size: int = 1024          # rows per map_batches batch (wide text rows)
+    signer_concurrency: int | tuple[int, int] = 4   # MinHash actor pool size
+    num_partitions: int = 16        # hash-join / shuffle partition count
+    checkpoint_dir: str | None = None   # stage checkpoints live here when set
+    resume: bool = True             # skip stages with a complete, matching manifest
+
+    def __post_init__(self) -> None:
+        if self.lsh_bands * self.lsh_rows != self.num_perms:
+            raise ValueError(
+                f"lsh_bands*lsh_rows ({self.lsh_bands}x{self.lsh_rows}) "
+                f"must equal num_perms ({self.num_perms})"
+            )
+        if self.shingle_k < 1:
+            raise ValueError("shingle_k must be >= 1")
+
+    def fingerprint(self) -> str:
+        """Config fingerprint for checkpoint manifests.
+
+        The analog of the reference's dir-set sha1 cache key
+        (dupe_analysis.py:38-43), but over the *configuration* so a stale
+        checkpoint from a different config is never silently reused (the
+        reference's existence-only check, dupe_analysis.py:93-97, is a
+        latent bug the manifest design fixes).
+        """
+        blob = json.dumps(asdict(self), sort_keys=True, default=str)
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]

@@ -1,0 +1,89 @@
+"""Corpus sources (S1/S7 analogs) and schema validation.
+
+The reference's input is a filesystem walk (``dupe_analysis.py:173-232``);
+ours is a partitioned Parquet read — blocks for free, columns pruned at the
+read. Loose files can still be ingested via ``read_binary_files``.
+"""
+
+from __future__ import annotations
+
+import posixpath
+
+import pyarrow as pa
+import ray.data as rd
+
+from deduplicate_ray.fixtures import CORPUS_SCHEMA
+
+REQUIRED_COLUMNS = tuple(CORPUS_SCHEMA.names)
+
+
+def read_corpus(path: str | list[str], columns: list[str] | None = None) -> rd.Dataset:
+    """Read the corpus Parquet table, pruning to the requested columns.
+
+    Always pass ``columns`` when a stage needs only a subset — e.g. the
+    Stage-2 signer needs only ``(repo, path, commit, content)``; shipping
+    ``lang`` too is harmless, but a full-width read for a narrow stage is not.
+    """
+    ds = rd.read_parquet(path, columns=columns)
+    return ds
+
+
+def validate_schema(ds: rd.Dataset) -> rd.Dataset:
+    """Assert the input carries the required corpus columns (declared schema,
+    no inference — SURVEY §1.2)."""
+    names = set(ds.schema().names)
+    missing = [c for c in REQUIRED_COLUMNS if c not in names]
+    if missing:
+        raise ValueError(f"corpus input missing columns: {missing}")
+    return ds
+
+
+def read_loose_files(paths: str | list[str], repo: str = "local",
+                     commit: str = "worktree") -> rd.Dataset:
+    """Ingest loose files from disk into corpus rows (S1 fallback:
+    ``read_binary_files(include_paths=True)``). Text is decoded UTF-8 with
+    replacement; ``lang`` is the file extension."""
+    ds = rd.read_binary_files(paths, include_paths=True)
+
+    def to_corpus(batch: pa.Table) -> pa.Table:
+        ps = batch.column("path").to_pylist()
+        contents = [
+            (b or b"").decode("utf-8", errors="replace")
+            for b in batch.column("bytes").to_pylist()
+        ]
+        return pa.Table.from_pydict(
+            {
+                "repo": [repo] * len(ps),
+                "path": ps,
+                "commit": [commit] * len(ps),
+                "lang": [posixpath.splitext(p)[1].lstrip(".") for p in ps],
+                "content": contents,
+            },
+            schema=CORPUS_SCHEMA,
+        )
+
+    return ds.map_batches(to_corpus, batch_format="pyarrow")
+
+
+def documents_as_corpus(sf_dir: str) -> rd.Dataset:
+    """Adapt the driver testdata ``documents`` table
+    (doc_id, text, lang, source, n_chars) to the corpus schema so the dedup
+    pipelines run unchanged over it. ``repo``=source, ``path``=doc_id,
+    ``commit``='' (single snapshot)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang", "source"])
+
+    def adapt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_pydict(
+            {
+                "repo": batch.column("source").cast(pa.string()),
+                "path": pa.array([f"doc{v}.txt" for v in batch.column("doc_id").to_pylist()]),
+                "commit": pa.array([""] * n, pa.string()),
+                "lang": batch.column("lang").cast(pa.string()),
+                "content": batch.column("text").cast(pa.string()),
+            },
+            schema=CORPUS_SCHEMA,
+        )
+
+    return ds.map_batches(adapt, batch_format="pyarrow")
