@@ -1,16 +1,10 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01
+and compares it against the matching ``oracle_sql()[name]`` via DuckDB.
+None of these functions (or the library code they use) calls ``ray.init`` /
+``ray.shutdown`` — sessions are owned by the caller.
 """
 
 from __future__ import annotations
@@ -20,25 +14,30 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: the 3-stage near-dup
+    detector (sha256 exact pass → MinHash/LSH + union-find → substring
+    containment) over the documents table adapted to the corpus schema,
+    with total cluster assignment per row."""
+    from deduplicate_ray import PipelineConfig
+    from deduplicate_ray.pipelines import dedup
+    from deduplicate_ray.sources.corpus import documents_as_corpus
+
+    corpus = documents_as_corpus("/root/testdata/sf0.001")
+    cfg = PipelineConfig(verify_threshold=0.5, num_partitions=4)
+    clusters = dedup.near_dup_clusters(corpus, cfg, with_substring=True)
+    return dedup.assign_all(corpus, clusters, cfg)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator/pipeline from SURVEY.md §2
+    (registry in deduplicate_ray/pipelines/queries.py)."""
+    from deduplicate_ray.pipelines.queries import QUERIES
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (same output column names); pipelines
+    with no SQL analog (MinHash/LSH clustering, SimHash, fingerprints, ANN,
+    multimodal stubs) are intentionally absent → rows-only check."""
+    from deduplicate_ray.pipelines.queries import ORACLE_SQL
+    return dict(ORACLE_SQL)

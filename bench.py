@@ -1,0 +1,152 @@
+"""Benchmark harness (driver contract).
+
+Headline: the flagship 3-stage dedup pipeline over a deterministic
+dup-rich corpus (fixtures.bench_corpus — the BASELINE.json input_hint
+table synthesized at a size scaled to $GRAFT_SF_DIR's sf), plus timed
+representative queries over the testdata tables.
+
+Prints ONE JSON line:
+  {"metric": "full_dedup_sec", "value": N, "unit": "sec",
+   "queries": {...}, "sf": S, "num_cpus": N, "files_per_sec": F}
+
+--scaling: runs the headline twice in fresh processes at num_cpus=8 and 32
+(the sandbox stand-in for N vs 4N cluster nodes), reports both throughputs
+and the scaling efficiency, and records them in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def bench_corpus_path(n_rows: int) -> str:
+    """Deterministic dup-rich corpus parquet, cached under /tmp."""
+    path = f"/tmp/dedup_bench_corpus_{n_rows}.parquet"
+    if not os.path.exists(path):
+        from deduplicate_ray.fixtures import bench_corpus, write_corpus
+        write_corpus(bench_corpus(n_rows=n_rows, seed=42), path)
+    return path
+
+
+def run_headline(n_rows: int) -> dict:
+    import ray.data as rd
+    from deduplicate_ray import PipelineConfig
+    from deduplicate_ray.pipelines import dedup
+    from deduplicate_ray.stages import exact
+
+    path = bench_corpus_path(n_rows)
+    # warm page cache (untimed) so we measure compute+shuffle, not cold disk
+    with open(path, "rb") as f:
+        while f.read(1 << 24):
+            pass
+
+    cfg = PipelineConfig(verify_threshold=0.5,
+                         num_partitions=max(4, NUM_CPUS // 2),
+                         signer_concurrency=(1, max(2, NUM_CPUS // 2)),
+                         batch_size=512)
+    t0 = time.perf_counter()
+    corpus = rd.read_parquet(path)
+    clusters = dedup.near_dup_clusters(corpus, cfg)
+    n_clustered = clusters.count()
+    elapsed = time.perf_counter() - t0
+    return {"sec": elapsed, "rows": n_rows, "clustered_rows": n_clustered,
+            "files_per_sec": n_rows / elapsed}
+
+
+def run_queries(sf_dir: str) -> dict:
+    from deduplicate_ray.pipelines.queries import QUERIES
+    import ray.data as rd
+
+    picks = ["pricing_summary", "events_hourly", "knn_cosine",
+             "minhash_clusters_docs", "simhash_pairs_docs",
+             "token_counts_docs", "top_customers"]
+    out = {}
+    for name in picks:
+        t0 = time.perf_counter()
+        res = QUERIES[name](sf_dir)
+        if isinstance(res, rd.Dataset):
+            res.count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    sf = _sf_of(SF_DIR)
+    n_rows = max(2000, int(1_000_000 * sf))
+    head = run_headline(n_rows)
+    queries = run_queries(SF_DIR)
+    print(json.dumps({
+        "metric": "full_dedup_sec",
+        "value": round(head["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "files_per_sec": round(head["files_per_sec"], 1),
+        "rows": head["rows"],
+        "clustered_rows": head["clustered_rows"],
+    }))
+    ray.shutdown()
+
+
+def scaling() -> None:
+    """Same job, same input, fresh processes at num_cpus=8 and 32; report
+    files/sec at both + efficiency = (T8/T32)/4 (BASELINE.md protocol)."""
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    result = {
+        "sec_8": r_lo["value"], "sec_32": r_hi["value"],
+        "files_per_sec_8": r_lo["files_per_sec"],
+        "files_per_sec_32": r_hi["files_per_sec"],
+        "rows": r_lo["rows"],
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(result))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# Measured scaling (sandbox protocol)\n\n"
+            "Same headline job (full 3-stage dedup over the deterministic\n"
+            f"bench corpus, {r_lo['rows']} rows), fresh processes.\n\n"
+            "| num_cpus | seconds | files/sec |\n|---|---|---|\n"
+            f"| {lo} | {r_lo['value']} | {r_lo['files_per_sec']} |\n"
+            f"| {hi} | {r_hi['value']} | {r_hi['files_per_sec']} |\n\n"
+            f"Scaling efficiency ({lo}→{hi} cpus): **{result['scaling_efficiency']}**\n"
+            "(1.0 = linear; target ≥ 0.8 per BASELINE.json).\n")
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

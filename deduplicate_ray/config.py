@@ -73,7 +73,7 @@ class PipelineConfig:
 
     # ---- execution ------------------------------------------------------
     batch_size: int = 1024          # rows per map_batches batch (wide text rows)
-    signer_concurrency: int | tuple[int, int] = 4   # MinHash actor pool size
+    signer_concurrency: int | tuple[int, int] = (1, 4)  # MinHash actor pool (min, max)
     num_partitions: int = 16        # hash-join / shuffle partition count
     checkpoint_dir: str | None = None   # stage checkpoints live here when set
     resume: bool = True             # skip stages with a complete, matching manifest

@@ -369,7 +369,10 @@ def bench_corpus(n_rows: int = 200_000, seed: int = 42) -> pa.Table:
     )
 
 
-def write_corpus(table: pa.Table, path: str) -> None:
+def write_corpus(table: pa.Table, path: str, row_group_size: int = 1024) -> None:
+    """Write with small row groups: Ray's parquet read parallelizes at
+    row-group granularity, so a single-row-group file would serialize the
+    whole downstream pipeline into one block/task."""
     import pyarrow.parquet as pq
 
-    pq.write_table(table, path)
+    pq.write_table(table, path, row_group_size=row_group_size)

@@ -1,0 +1,178 @@
+"""The flagship 3-stage dedup pipeline (SURVEY §3 target lifecycle).
+
+``read_parquet → Stage 1 (sha256 groupby → exact groups + representative
+collapse) → Stage 2 (MinHash actor pool → LSH bands → salted groupby →
+candidate pairs → union-find) → Stage 3 (per-partition substring containment)
+→ clusters + keeper report``.
+
+Exact-dup family members inherit their representative's near-dup cluster at
+the end (a bucketed hash join on the representative id), so cluster
+assignments cover every input row while MinHash work runs once per distinct
+content.
+
+Every stage boundary is pinned: with ``cfg.checkpoint_dir`` set, stages are
+written as Parquet checkpoints with manifests (resume = skip complete
+stages, see ``state/checkpoint.py``); without it, narrow intermediates are
+``materialize()``-pinned so driver-side lookups never re-execute the
+expensive lineage. Content flows through exactly one streaming pass per
+consumer (hashing, signing, substring scan) and is never shuffled.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from deduplicate_ray.config import PipelineConfig
+from deduplicate_ray.stages import exact, joins, lsh, minhash, rollup, substring
+from deduplicate_ray.state import checkpoint, unionfind
+
+logger = logging.getLogger(__name__)
+
+
+def _pin(ds_factory, cfg: PipelineConfig, stage: str) -> rd.Dataset:
+    if cfg.checkpoint_dir:
+        return checkpoint.checkpointed(
+            ds_factory, cfg.checkpoint_dir, stage, cfg.fingerprint(),
+            resume=cfg.resume)
+    return ds_factory().materialize()
+
+
+def near_dup_clusters(corpus: rd.Dataset, cfg: PipelineConfig | None = None,
+                      collapse_exact: bool = True,
+                      with_substring: bool = False) -> rd.Dataset:
+    """corpus → ``(file_id, cluster_id)`` for every row that belongs to a
+    duplicate cluster (exact or near). Singletons are omitted; callers who
+    need total assignments use :func:`assign_all`.
+
+    ``collapse_exact=False`` skips the Stage-1 representative collapse (used
+    by tests that exercise LSH skew handling directly).
+    ``with_substring=True`` adds Stage-3 containment edges before union-find.
+    """
+    cfg = cfg or PipelineConfig()
+
+    hashed = exact.hash_corpus(corpus, cfg, keep_content=True)
+    # The narrow (file_id, sha256, ...) relation is pinned once; every
+    # driver-side lookup below reads it instead of re-hashing the corpus.
+    narrow = _pin(lambda: hashed.map_batches(
+        lambda t: t.drop_columns(["content"]), batch_format="pyarrow"),
+        cfg, "hashes")
+
+    if collapse_exact:
+        rep_ids = exact.representatives(narrow).select_columns(
+            ["rep_file_id"]).map_batches(
+            lambda t: t.rename_columns(["file_id"]), batch_format="pyarrow")
+        reps = joins.semi_join(hashed, rep_ids, "file_id",
+                               num_partitions=cfg.num_partitions)
+    else:
+        reps = hashed
+
+    sigs = _pin(lambda: minhash.sign_corpus(reps, cfg), cfg, "signatures")
+    bands = _pin(lambda: minhash.explode_bands(sigs, cfg), cfg, "bands")
+
+    def _edges():
+        e = lsh.candidate_pairs(bands, cfg)
+        return lsh.verify_pairs(e, sigs, cfg)
+
+    edges = _pin(_edges, cfg, "edges")
+
+    if with_substring:
+        sub = _pin(lambda: substring.containment_edges(reps, cfg),
+                   cfg, "containment_edges")
+        edges = edges.select_columns(["src", "dst"]).union(
+            sub.select_columns(["src", "dst"]))
+
+    labels = unionfind.connected_components(
+        edges, num_partitions=cfg.num_partitions)
+    rep_clusters = unionfind.clusters_table(labels)
+
+    if not collapse_exact:
+        return rep_clusters
+
+    # fold exact families back in: every member of a sha256 family gets its
+    # representative's cluster id; families whose representative is in no
+    # near-dup cluster become their own cluster (id = representative file_id)
+    # when the family has >1 member.
+    member_map = exact.representatives(narrow)  # (sha256, rep_file_id)
+    fam = joins.bucket_join(
+        narrow.select_columns(["file_id", "sha256"]), member_map,
+        on="sha256", how="inner", num_buckets=cfg.num_partitions)
+    return _fold_families(fam, rep_clusters, cfg)
+
+
+def _fold_families(fam: rd.Dataset, rep_clusters: rd.Dataset,
+                   cfg: PipelineConfig) -> rd.Dataset:
+    """(file_id, sha256, rep_file_id) x (rep cluster table) → final
+    (file_id, cluster_id). One bucketed shuffle on rep_file_id; per-bucket
+    logic is fully vectorized pandas (families never straddle buckets)."""
+    import zlib
+
+    n_b = cfg.num_partitions
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            reps_col = t.column("rep_file_id").to_pylist()
+            bucket = [zlib.crc32(r.encode()) % n_b for r in reps_col]
+            t = t.append_column("_side", pa.array([side] * t.num_rows, pa.int8()))
+            return t.append_column("_bucket", pa.array(bucket, pa.int32()))
+        return f
+
+    left = fam.select_columns(["file_id", "rep_file_id"]).map_batches(
+        lambda t: t.append_column("cluster_id", pa.nulls(t.num_rows, pa.string())),
+        batch_format="pyarrow").map_batches(tag(0), batch_format="pyarrow")
+    right = rep_clusters.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [pa.nulls(t.num_rows, pa.string()), t.column("file_id"),
+             t.column("cluster_id")],
+            names=["file_id", "rep_file_id", "cluster_id"]),
+        batch_format="pyarrow").map_batches(tag(1), batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        rep_cl = g[g["_side"] == 1].set_index("rep_file_id")["cluster_id"]
+        rows = g[g["_side"] == 0]
+        cl = rows["rep_file_id"].map(rep_cl)
+        fam_size = rows.groupby("rep_file_id")["file_id"].transform("size")
+        keep = cl.notna() | (fam_size > 1)
+        return pd.DataFrame({
+            "file_id": rows.loc[keep, "file_id"],
+            "cluster_id": cl[keep].fillna(rows.loc[keep, "rep_file_id"]),
+        }, columns=["file_id", "cluster_id"])
+
+    return left.union(right).groupby("_bucket").map_groups(
+        fold, batch_format="pandas")
+
+
+def assign_all(corpus: rd.Dataset, clusters: rd.Dataset,
+               cfg: PipelineConfig | None = None) -> rd.Dataset:
+    """Total assignment: every corpus row gets a cluster_id (its own file_id
+    when it is a singleton). Left join corpus ids against the cluster table."""
+    cfg = cfg or PipelineConfig()
+    ids = exact.hash_corpus(corpus, cfg).select_columns(["file_id"])
+    joined = joins.bucket_join(ids, clusters, on="file_id", how="left",
+                               num_buckets=cfg.num_partitions)
+
+    def fill(t: pa.Table) -> pa.Table:
+        c = pc.coalesce(t.column("cluster_id"), t.column("file_id"))
+        return pa.Table.from_arrays([t.column("file_id"), c],
+                                    names=["file_id", "cluster_id"])
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+def full_dedup(corpus: rd.Dataset, cfg: PipelineConfig | None = None) -> dict:
+    """End-to-end run: exact groups, near-dup clusters (with substring pass),
+    directory roll-up, keeper report. Returns a dict of Datasets:
+    ``exact_members, clusters, rollup, report``."""
+    cfg = cfg or PipelineConfig()
+    hashes = exact.hash_corpus(corpus, cfg).materialize()
+    members = exact.exact_members(hashes, cfg).materialize()
+    clusters = near_dup_clusters(corpus, cfg, with_substring=True)
+    roll = rollup.dir_rollup(members, hashes)
+    keepers = rollup.elect_keepers(members)
+    report = rollup.dupe_report(keepers)
+    return {"exact_members": members, "clusters": clusters,
+            "rollup": roll, "report": report}

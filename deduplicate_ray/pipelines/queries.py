@@ -1,0 +1,471 @@
+"""The query registry backing ``__ray_entry__.queries()`` / ``oracle_sql()``.
+
+One entry per implemented operator family (SURVEY §2), each a callable
+``(sf_dir) -> Dataset | pandas.DataFrame``; oracle-SQL strings live in
+``ORACLE_SQL`` with IDENTICAL output column names (the driver's compare
+sorts columns by name and hashes values). Non-SQL-expressible pipelines
+(MinHash clustering, SimHash, fingerprints, LSH ANN, multimodal) have no
+oracle entry — the driver records a rows-only check for those.
+
+None of these callables initialises Ray (driver contract).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from deduplicate_ray.config import PipelineConfig
+from deduplicate_ray.functions import text as textfn
+from deduplicate_ray.sources.corpus import documents_as_corpus
+from deduplicate_ray.stages import (exact, joins, multimodal, rollup,
+                                    simdedup, similarity, substring, windows)
+from deduplicate_ray.pipelines import dedup
+
+
+def _t(sf_dir: str, name: str, columns=None, split: int = 0) -> rd.Dataset:
+    """Column-pruned read. ``split`` > 0 repartitions right after the read:
+    the driver testdata files are single-row-group parquet, which Ray reads
+    as ONE block — without the split every downstream stage of that query
+    would run in a single task."""
+    ds = rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    if split:
+        ds = ds.repartition(split)
+    return ds
+
+
+def _add_md5(batch: pa.Table, col: str = "text", out: str = "text_md5") -> pa.Table:
+    hs = [hashlib.md5((t or "").encode()).hexdigest()
+          for t in batch.column(col).to_pylist()]
+    return batch.append_column(out, pa.array(hs, pa.string()))
+
+
+def _round_col(ds: rd.Dataset, col: str, nd: int) -> rd.Dataset:
+    def f(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index(col)
+        return t.set_column(i, col, pc.round(t.column(col), ndigits=nd))
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _as_table(ds: rd.Dataset, schema: pa.Schema) -> pa.Table:
+    """Materialize a (small) result with a PINNED schema. Queries that can
+    legitimately return zero rows must not hand the driver an empty Dataset:
+    empty Ray datasets drop their schema on conversion, failing the driver's
+    schema comparison against the oracle."""
+    rows = ds.take_all()
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
+# ---------------------------------------------------------------- dedup (docs)
+
+def q_exact_dup_groups_docs(sf_dir: str):
+    """A1 collision grouping on the documents table (md5 for SQL parity)."""
+    docs = _t(sf_dir, "documents", ["text", "n_chars"])
+    hashed = docs.map_batches(_add_md5, batch_format="pyarrow")
+    out = hashed.select_columns(["text_md5", "n_chars"]) \
+        .groupby("text_md5").aggregate(
+            Count(alias_name="group_size"),
+            Sum("n_chars", alias_name="total_chars")) \
+        .filter(expr="group_size > 1")
+    return _as_table(out, pa.schema([
+        ("text_md5", pa.string()), ("group_size", pa.int64()),
+        ("total_chars", pa.int64())]))
+
+
+def q_dedup_keep_first_docs(sf_dir: str):
+    """D1 per-group-first: keeper = min doc_id per distinct text."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    hashed = docs.map_batches(_add_md5, batch_format="pyarrow")
+    return hashed.select_columns(["text_md5", "doc_id"]) \
+        .groupby("text_md5").aggregate(
+            Min("doc_id", alias_name="keeper_doc_id"),
+            Count(alias_name="group_size"))
+
+
+def q_dup_members_docs(sf_dir: str):
+    """J1 semi-join: rows belonging to an exact-dup group."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    hashed = docs.map_batches(_add_md5, batch_format="pyarrow") \
+                 .select_columns(["doc_id", "text_md5"])
+    dup_keys = hashed.groupby("text_md5").aggregate(
+        Count(alias_name="n")).filter(expr="n > 1")
+    out = joins.semi_join(hashed, dup_keys, "text_md5")
+    return _as_table(out, pa.schema([
+        ("doc_id", pa.int64()), ("text_md5", pa.string())]))
+
+
+def q_minhash_clusters_docs(sf_dir: str):
+    """Stage-2 near-dup clustering over documents (rows-only check: LSH and
+    union-find are not SQL-expressible)."""
+    corpus = documents_as_corpus(sf_dir)
+    cfg = PipelineConfig(verify_threshold=0.5, num_partitions=4)
+    return _as_table(dedup.near_dup_clusters(corpus, cfg), pa.schema([
+        ("file_id", pa.string()), ("cluster_id", pa.string())]))
+
+
+def q_simhash_pairs_docs(sf_dir: str):
+    """SimHash near-dup pairs over documents (rows-only)."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"], split=8)
+    hashed = simdedup.add_simhash(docs)
+    out = simdedup.simhash_edges(hashed, id_col="doc_id", max_hamming=3)
+    return _as_table(out, pa.schema([
+        ("src", pa.int64()), ("dst", pa.int64())]))
+
+
+def q_ngram_jaccard_pairs_docs(sf_dir: str):
+    """Exact word-3-gram Jaccard pairs >= 0.8 (rows-only)."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = simdedup.ngram_jaccard_edges(docs, id_col="doc_id", n=3,
+                                       threshold=0.8)
+    return _as_table(out, pa.schema([
+        ("src", pa.int64()), ("dst", pa.int64()), ("jaccard", pa.float64())]))
+
+
+def q_containment_docs(sf_dir: str):
+    """Stage-3 substring containment within each source partition
+    (rows-only)."""
+    corpus = documents_as_corpus(sf_dir)
+    cfg = PipelineConfig(min_containment_len=64)
+    ds = substring.add_ids_only(corpus)
+    out = substring.containment_edges(ds, cfg, partition_col="repo")
+    return _as_table(out, pa.schema([
+        ("src", pa.string()), ("dst", pa.string())]))
+
+
+# ---------------------------------------------------------------- text ops
+
+def q_token_counts_docs(sf_dir: str):
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        counts = [textfn.token_count_ws(t or "")
+                  for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_tokens_ws": pa.array(counts, pa.int64())})
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def q_lang_stats_docs(sf_dir: str):
+    docs = _t(sf_dir, "documents", ["lang", "n_chars"])
+    agg = docs.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="total_chars"),
+        Mean("n_chars", alias_name="avg_chars"))
+    return _round_col(agg, "avg_chars", 4)
+
+
+def q_lang_guess_docs(sf_dir: str):
+    """Heuristic language ID (actor-pool stage; rows-only)."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(textfn.TextAnalyzer, batch_format="pyarrow",
+                           batch_size=512, concurrency=(1, 2), num_cpus=1)
+    return out.select_columns(["doc_id", "lang_guess", "quality_score"])
+
+
+def q_fingerprint_docs(sf_dir: str):
+    """Rolling-hash document fingerprints (rows-only)."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(
+        lambda t: textfn.add_fingerprint(t).drop_columns(["text"]),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- similarity
+
+def _query_vectors(sf_dir: str, nq: int = 5) -> np.ndarray:
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    t = t.filter(pc.less(t.column("vec_id"), nq)).sort_by("vec_id")
+    return np.stack([np.asarray(v, dtype=np.float64)
+                     for v in t.column("embedding").to_pylist()])
+
+
+def q_knn_cosine(sf_dir: str):
+    """Brute-force cosine top-10 for queries = vec_id < 5. Score omitted;
+    ranking is implicit in the selected id set (deterministic tie-break)."""
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = similarity.knn_cosine(emb, _query_vectors(sf_dir), k=10,
+                                round_to=None)
+    return out.select_columns(["query_id", "vec_id"])
+
+
+def q_knn_cosine_lsh(sf_dir: str):
+    """ANN variant (hyperplane buckets; rows-only — recall < 1 by design)."""
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = similarity.knn_cosine_lsh(emb, _query_vectors(sf_dir), k=10)
+    return out.select_columns(["query_id", "vec_id", "score"])
+
+
+def q_embedding_cosine_pairs(sf_dir: str):
+    """All pairs with cosine >= 0.3 (exact; oracle via
+    list_cosine_similarity). Engine path: bucketed LSH at scale; the exact
+    variant here runs all-pairs within one group for oracle comparability."""
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    one_bucket = emb.map_batches(
+        lambda t: t.append_column("bucket", pa.array([0] * t.num_rows, pa.int64())),
+        batch_format="pyarrow")
+    # all-pairs inside the single bucket, exact verify
+    import pandas as pd
+    from deduplicate_ray.stages.similarity import _normalize
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy()
+        vecs = _normalize(np.stack(g["embedding"].to_numpy()))
+        sims = vecs @ vecs.T
+        order = np.argsort(ids)
+        src, dst = [], []
+        for a in range(len(order)):
+            for b in range(a + 1, len(order)):
+                i, j = order[a], order[b]
+                if sims[i, j] >= 0.3:
+                    src.append(int(ids[i])); dst.append(int(ids[j]))
+        return pd.DataFrame({"src": src, "dst": dst}, columns=["src", "dst"]).astype("int64")
+
+    out = one_bucket.groupby("bucket").map_groups(emit, batch_format="pandas")
+    return _as_table(out, pa.schema([("src", pa.int64()), ("dst", pa.int64())]))
+
+
+# ---------------------------------------------------------------- relational
+
+def q_pricing_summary(sf_dir: str):
+    """A1/A5-style grouped aggregate with projection + filter pushdown
+    (columns pruned at the read; vectorized arithmetic in Arrow)."""
+    li = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+             "l_discount", "l_shipdate"], split=16)
+    cutoff = pa.scalar(np.datetime64("1998-09-02", "us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column("l_shipdate"), cutoff))
+        disc = pc.multiply(t.column("l_extendedprice"),
+                           pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return t.append_column("disc_price", disc)
+
+    ds = li.map_batches(prep, batch_format="pyarrow")
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Count(alias_name="count_order"))
+    for c in ["sum_qty", "sum_base_price", "sum_disc_price"]:
+        agg = _round_col(agg, c, 2)
+    return agg
+
+
+def q_top_customers(sf_dir: str):
+    """Pre-aggregated join + top-k: orders grouped per customer FIRST (the
+    partial-aggregate-before-shuffle rule), then a broadcast lookup of the
+    small customer side, then sort/limit."""
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    per_cust = orders.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="revenue"),
+        Count(alias_name="n_orders"))
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+    renamed = per_cust.map_batches(
+        lambda t: t.rename_columns(["c_custkey", "revenue", "n_orders"]),
+        batch_format="pyarrow")
+    joined = joins.bucket_join(renamed, cust, on="c_custkey", how="inner",
+                               num_buckets=4)
+    top = _round_col(joined, "revenue", 2).sort(
+        ["revenue", "c_custkey"], descending=[True, False]).limit(10)
+    return top
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Anti-join (D3 reviewed-set subtraction analog)."""
+    cust = _t(sf_dir, "customer", ["c_custkey"])
+    orders = _t(sf_dir, "orders", ["o_custkey"]).map_batches(
+        lambda t: t.rename_columns(["c_custkey"]), batch_format="pyarrow")
+    return _as_table(joins.anti_join(cust, orders, "c_custkey"),
+                     pa.schema([("c_custkey", pa.int64())]))
+
+
+def q_orders_per_status(sf_dir: str):
+    orders = _t(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+    agg = orders.groupby("o_orderstatus").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("o_totalprice", alias_name="total_price"))
+    return _round_col(agg, "total_price", 2)
+
+
+def q_part_type_stats(sf_dir: str):
+    """Filter + groupby with Min/Max aggregates."""
+    part = _t(sf_dir, "part", ["p_type", "p_size", "p_retailprice"])
+    filtered = part.filter(expr="p_size >= 10")
+    agg = filtered.groupby("p_type").aggregate(
+        Count(alias_name="n_parts"),
+        Min("p_retailprice", alias_name="min_price"),
+        Max("p_retailprice", alias_name="max_price"))
+    for c in ["min_price", "max_price"]:
+        agg = _round_col(agg, c, 2)
+    return agg
+
+
+# ---------------------------------------------------------------- events
+
+def q_events_hourly(sf_dir: str):
+    ev = _t(sf_dir, "events", ["user_id", "ts", "value"], split=16)
+    return windows.tumbling_aggregate(ev, interval_s=3600)
+
+
+def q_events_sessions(sf_dir: str):
+    ev = _t(sf_dir, "events", ["user_id", "ts"], split=16)
+    out = windows.sessionize(ev, gap_s=1800)
+
+    def to_ts(t: pa.Table) -> pa.Table:
+        for col in ["session_start", "session_end"]:
+            i = t.schema.get_field_index(col)
+            t = t.set_column(i, col, t.column(col).cast(pa.int64()).cast(pa.timestamp("us")))
+        return t
+
+    return out.map_batches(to_ts, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- multimodal
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing demo over deterministic synthetic media
+    (rows-only; decode is stubbed — container has no codecs)."""
+    media = rd.from_arrow(multimodal.synth_media(n=64))
+    return multimodal.featurize_images(media, out_dim=32)
+
+
+def q_media_frames(sf_dir: str):
+    media = rd.from_arrow(multimodal.synth_media(n=32))
+    return multimodal.sample_frames(media, n_frames=4, frame_dim=8)
+
+
+# ---------------------------------------------------------------- registry
+
+QUERIES = {
+    "exact_dup_groups_docs": q_exact_dup_groups_docs,
+    "dedup_keep_first_docs": q_dedup_keep_first_docs,
+    "dup_members_docs": q_dup_members_docs,
+    "minhash_clusters_docs": q_minhash_clusters_docs,
+    "simhash_pairs_docs": q_simhash_pairs_docs,
+    "ngram_jaccard_pairs_docs": q_ngram_jaccard_pairs_docs,
+    "containment_docs": q_containment_docs,
+    "token_counts_docs": q_token_counts_docs,
+    "lang_stats_docs": q_lang_stats_docs,
+    "lang_guess_docs": q_lang_guess_docs,
+    "fingerprint_docs": q_fingerprint_docs,
+    "knn_cosine": q_knn_cosine,
+    "knn_cosine_lsh": q_knn_cosine_lsh,
+    "embedding_cosine_pairs": q_embedding_cosine_pairs,
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "customers_without_orders": q_customers_without_orders,
+    "orders_per_status": q_orders_per_status,
+    "part_type_stats": q_part_type_stats,
+    "events_hourly": q_events_hourly,
+    "events_sessions": q_events_sessions,
+    "media_features": q_media_features,
+    "media_frames": q_media_frames,
+}
+
+ORACLE_SQL = {
+    "exact_dup_groups_docs": """
+        SELECT md5(text) AS text_md5, COUNT(*) AS group_size,
+               SUM(n_chars) AS total_chars
+        FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+    """,
+    "dedup_keep_first_docs": """
+        SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper_doc_id,
+               COUNT(*) AS group_size
+        FROM documents GROUP BY md5(text)
+    """,
+    "dup_members_docs": """
+        SELECT doc_id, md5(text) AS text_md5 FROM documents
+        WHERE md5(text) IN (
+            SELECT md5(text) FROM documents GROUP BY 1 HAVING COUNT(*) > 1)
+    """,
+    "token_counts_docs": """
+        SELECT doc_id,
+               CAST(array_length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens_ws
+        FROM documents
+    """,
+    "lang_stats_docs": """
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+               ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+        FROM documents GROUP BY lang
+    """,
+    "knn_cosine": """
+        WITH q AS (SELECT vec_id AS qid, embedding AS qv
+                   FROM embeddings WHERE vec_id < 5)
+        SELECT q.qid AS query_id, e.vec_id AS vec_id
+        FROM embeddings e CROSS JOIN q
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY q.qid
+            ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id
+        ) <= 10
+    """,
+    "embedding_cosine_pairs": """
+        SELECT a.vec_id AS src, b.vec_id AS dst
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_customers": """
+        SELECT g.c_custkey AS c_custkey, ROUND(g.revenue, 2) AS revenue,
+               g.n_orders AS n_orders, c.c_name AS c_name
+        FROM (SELECT o_custkey AS c_custkey, SUM(o_totalprice) AS revenue,
+                     COUNT(*) AS n_orders
+              FROM orders GROUP BY o_custkey) g
+        JOIN customer c ON g.c_custkey = c.c_custkey
+        ORDER BY revenue DESC, c_custkey LIMIT 10
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey FROM customer
+        WHERE c_custkey NOT IN (SELECT DISTINCT o_custkey FROM orders)
+    """,
+    "orders_per_status": """
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "part_type_stats": """
+        SELECT p_type, COUNT(*) AS n_parts,
+               ROUND(MIN(p_retailprice), 2) AS min_price,
+               ROUND(MAX(p_retailprice), 2) AS max_price
+        FROM part WHERE p_size >= 10 GROUP BY p_type
+    """,
+    "events_hourly": """
+        SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               COUNT(*) AS n_events, ROUND(SUM(value), 4) AS value_sum
+        FROM events GROUP BY user_id, time_bucket(INTERVAL '1 hour', ts)
+    """,
+    "events_sessions": """
+        WITH d AS (
+          SELECT user_id, ts,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                        OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+          SELECT user_id, ts,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+          FROM d
+        )
+        SELECT user_id, session_id, MIN(ts) AS session_start,
+               MAX(ts) AS session_end, COUNT(*) AS n_events
+        FROM s GROUP BY user_id, session_id
+    """,
+}

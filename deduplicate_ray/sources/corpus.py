@@ -72,6 +72,9 @@ def documents_as_corpus(sf_dir: str) -> rd.Dataset:
     ``commit``='' (single snapshot)."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "lang", "source"])
+    # driver testdata is single-row-group parquet → one block; split so the
+    # downstream pipeline parallelizes
+    ds = ds.repartition(8)
 
     def adapt(batch: pa.Table) -> pa.Table:
         n = batch.num_rows

@@ -1,0 +1,147 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* :func:`knn_cosine` — brute-force cosine top-k: the query matrix is
+  normalized once on the driver and broadcast via ``ray.put`` (read once per
+  task, never re-shipped per batch); each ``map_batches`` computes a numpy
+  matmul against its batch and emits only the per-batch local top-k per
+  query, so the global reduce sees ``O(num_batches * k)`` rows, not the
+  corpus. Global top-k = one small ``groupby(query_id).map_groups``.
+* :func:`lsh_buckets` / :func:`knn_cosine_lsh` — the scale path: random
+  hyperplane signatures bucket vectors so each query probes only its bucket
+  (and optionally neighboring buckets); recall traded for a
+  ``2^planes``-fold candidate reduction. Bucketing assumption documented:
+  vectors are compared only within probed buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    m = np.asarray(m, dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch.column(col).combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = np.asarray(arr.flatten(), dtype=np.float64)
+    return flat.reshape(batch.num_rows, -1)
+
+
+def knn_cosine(embeddings: rd.Dataset, queries: np.ndarray, k: int = 10,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               round_to: int | None = 4) -> rd.Dataset:
+    """Top-k cosine neighbors of each query row. Output:
+    ``(query_id:int64, vec_id, score:double)``, deterministic tie-break on
+    ``vec_id``; scores optionally rounded for cross-engine comparability."""
+    qn = _normalize(queries)
+    qref = ray.put(qn)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        e = _normalize(_batch_matrix(batch, vec_col))
+        ids = np.asarray(batch.column(id_col).to_pylist())
+        sims = e @ q.T  # (n, nq)
+        nq = q.shape[0]
+        out_q, out_i, out_s = [], [], []
+        kk = min(k, len(ids))
+        for qi in range(nq):
+            s = sims[:, qi]
+            idx = np.argpartition(-s, kk - 1)[:kk] if kk < len(ids) else np.arange(len(ids))
+            out_q.extend([qi] * len(idx))
+            out_i.extend(ids[idx].tolist())
+            out_s.extend(s[idx].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            id_col: pa.array(out_i),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+    local = embeddings.map_batches(local_topk, batch_format="pyarrow",
+                                   batch_size=4096)
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)
+        if round_to is not None:
+            g["score"] = g["score"].round(round_to)
+        return g
+
+    return local.groupby("query_id").map_groups(global_topk,
+                                                batch_format="pandas")
+
+
+def hyperplane_signs(vectors: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n,) int64 bucket ids: sign bits against random hyperplanes."""
+    bits = (vectors @ planes.T) >= 0  # (n, p)
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+    return bits.astype(np.int64) @ weights
+
+
+def lsh_buckets(embeddings: rd.Dataset, num_planes: int = 8, seed: int = 42,
+                vec_col: str = "embedding", dim: int | None = None) -> rd.Dataset:
+    """Append a ``bucket`` column from random-hyperplane signatures."""
+    state = {"planes": None}
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        e = _normalize(_batch_matrix(batch, vec_col))
+        if state["planes"] is None:
+            rng = np.random.Generator(np.random.PCG64(seed))
+            state["planes"] = rng.standard_normal((num_planes, e.shape[1]))
+        b = hyperplane_signs(e, state["planes"])
+        return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+    return embeddings.map_batches(bucketize, batch_format="pyarrow")
+
+
+def knn_cosine_lsh(embeddings: rd.Dataset, queries: np.ndarray, k: int = 10,
+                   num_planes: int = 6, seed: int = 42,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> rd.Dataset:
+    """ANN top-k: probe only the bucket each query hashes to. Scale path —
+    trades recall (documented) for a ~2^planes candidate reduction."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    qn = _normalize(queries)
+    planes = rng.standard_normal((num_planes, qn.shape[1]))
+    qbuckets = hyperplane_signs(qn, planes)
+    qref = ray.put((qn, planes, qbuckets))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        q, pl, qb = ray.get(qref)
+        e = _normalize(_batch_matrix(batch, vec_col))
+        ids = np.asarray(batch.column(id_col).to_pylist())
+        eb = hyperplane_signs(e, pl)
+        out_q, out_i, out_s = [], [], []
+        for qi in range(q.shape[0]):
+            mask = eb == qb[qi]
+            if not mask.any():
+                continue
+            sub = e[mask]
+            s = sub @ q[qi]
+            kk = min(k, len(s))
+            idx = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
+            out_q.extend([qi] * len(idx))
+            out_i.extend(ids[mask][idx].tolist())
+            out_s.extend(s[idx].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            id_col: pa.array(out_i),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+    local = embeddings.map_batches(probe, batch_format="pyarrow",
+                                   batch_size=4096)
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["score", id_col],
+                             ascending=[False, True]).head(k)
+
+    return local.groupby("query_id").map_groups(global_topk,
+                                                batch_format="pandas")

@@ -1,0 +1,192 @@
+"""Stage 2c — connected components over the candidate-edge relation.
+
+LSH edges are not transitive, so the reference's hash-equality grouping
+(implicit transitive closure, ``dupe_analysis.py:532-562``) generalizes to a
+union-find. Not a Ray Data primitive; two physical strategies (SURVEY §4.3):
+
+* **driver union-find** — when the edge count is small enough to hold on the
+  driver (post-Stage-1-collapse candidate sets usually are), classic DSU
+  with path compression; labels are canonicalized to the minimum member of
+  each component for determinism.
+* **distributed min-label propagation** — iterative: each round joins the
+  symmetric edge relation with the current label table
+  (hash-partitioned on the node key), takes the per-node minimum of
+  neighbor labels, and materializes the (narrow) label table so lazy
+  lineage doesn't recompute prior rounds.  Converges to the per-component
+  minimum label in O(component diameter) rounds; convergence is detected by
+  an order-independent checksum of (node,label) pairs going stable, with a
+  ``max_iters`` backstop. Per-round row counts are logged (lineage metrics).
+
+Anchor pseudo-nodes introduced by LSH salting (``~bucket:...``) sort after
+real file_ids, so component minimum labels are always real file_ids; anchors
+are dropped from the final label table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Min
+
+from deduplicate_ray.stages.lsh import ANCHOR_PREFIX
+
+logger = logging.getLogger(__name__)
+
+DRIVER_EDGE_LIMIT = 2_000_000
+
+
+def _drop_anchor_rows(labels: rd.Dataset) -> rd.Dataset:
+    return labels.map_batches(
+        lambda t: t.filter(pc.invert(
+            pc.starts_with(t.column("node"), ANCHOR_PREFIX))),
+        batch_format="pyarrow")
+
+
+def driver_union_find(edge_rows: list[tuple[str, str]]) -> dict[str, str]:
+    """Classic DSU with path compression + union by size; labels = min member."""
+    parent: dict[str, str] = {}
+    size: dict[str, int] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if size.get(ra, 1) < size.get(rb, 1):
+            ra, rb = rb, ra
+        parent[rb] = ra
+        size[ra] = size.get(ra, 1) + size.get(rb, 1)
+        parent.setdefault(ra, ra)
+
+    # canonicalize to min member per component
+    comp_min: dict[str, str] = {}
+    nodes = set(parent)
+    for a, b in edge_rows:
+        nodes.add(a); nodes.add(b)
+    for n in nodes:
+        r = find(n)
+        if n < comp_min.get(r, "\U0010ffff"):
+            comp_min[r] = n
+    return {n: comp_min[find(n)] for n in nodes}
+
+
+def _labels_checksum(labels: rd.Dataset) -> int:
+    def hash_batch(t: pa.Table) -> pa.Table:
+        hs = [
+            int.from_bytes(hashlib.blake2b(f"{n}\x00{l}".encode(),
+                                           digest_size=8).digest(), "big") >> 1
+            for n, l in zip(t.column("node").to_pylist(),
+                            t.column("label").to_pylist())
+        ]
+        return pa.table({"h": pa.array(hs, pa.int64())})
+
+    return labels.map_batches(hash_batch, batch_format="pyarrow").sum("h") or 0
+
+
+def connected_components(edges: rd.Dataset, *,
+                         driver_limit: int = DRIVER_EDGE_LIMIT,
+                         max_iters: int = 50,
+                         num_partitions: int = 16,
+                         checkpoint_dir: str | None = None) -> rd.Dataset:
+    """edges ``(src, dst)`` → labels ``(node, label)`` for every endpoint;
+    ``label`` = min file_id of the connected component.
+
+    Distributed path detail: each round's label table is PINNED by a Parquet
+    round-trip (``write_parquet`` → ``read_parquet``). ``materialize()`` is
+    NOT enough here — in this Ray version an iteratively reused materialized
+    dataset still drags its producing plan along, so per-round cost grows
+    geometrically; the Parquet pin keeps rounds flat AND doubles as the
+    union-find state checkpoint the north rule requires (a killed run
+    resumes from the last complete round directory via ``_SUCCESS``
+    markers).
+    """
+    n_edges = edges.count()
+    if n_edges == 0:
+        return rd.from_arrow(pa.table(
+            {"node": pa.array([], pa.string()), "label": pa.array([], pa.string())}))
+
+    if n_edges <= driver_limit:
+        rows = edges.select_columns(["src", "dst"]).take_all()
+        mapping = driver_union_find([(r["src"], r["dst"]) for r in rows])
+        labels = rd.from_arrow(pa.table({
+            "node": list(mapping.keys()), "label": list(mapping.values())}))
+        return _drop_anchor_rows(labels)
+
+    # ---- distributed min-label propagation --------------------------------
+    import os
+    import shutil
+    import tempfile
+
+    from deduplicate_ray.stages.joins import bucket_join
+
+    root = checkpoint_dir or tempfile.mkdtemp(prefix="unionfind_")
+
+    def _pin(ds: rd.Dataset, name: str) -> rd.Dataset:
+        path = os.path.join(root, name)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            shutil.rmtree(path, ignore_errors=True)
+            ds.write_parquet(path)
+            open(os.path.join(path, "_SUCCESS"), "w").close()
+        return rd.read_parquet(path)
+
+    def swap(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays([t.column("dst"), t.column("src")],
+                                    names=["src", "dst"])
+
+    sym = _pin(
+        edges.select_columns(["src", "dst"])
+        .union(edges.select_columns(["src", "dst"])
+               .map_batches(swap, batch_format="pyarrow"))
+        .map_batches(lambda t: t.rename_columns(["node", "nbr"]),
+                     batch_format="pyarrow"),
+        "sym")
+
+    # resume from the last complete round if the caller passed a durable dir
+    start_round = 0
+    labels = None
+    for it in reversed(range(max_iters)):
+        if os.path.exists(os.path.join(root, f"round_{it}", "_SUCCESS")):
+            labels = rd.read_parquet(os.path.join(root, f"round_{it}"))
+            start_round = it + 1
+            break
+    if labels is None:
+        labels = _pin(
+            sym.select_columns(["node"]).groupby("node").aggregate(
+                Min("node", alias_name="label")), "round_init")
+
+    prev_sum = None
+    for it in range(start_round, max_iters):
+        msgs = bucket_join(sym, labels, on="node", how="inner",
+                           num_buckets=num_partitions)
+        msgs = msgs.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("nbr"), t.column("label")], names=["node", "label"]),
+            batch_format="pyarrow")
+        new_labels = labels.union(msgs).groupby("node").aggregate(
+            Min("label", alias_name="label"))
+        labels = _pin(new_labels, f"round_{it}")
+        cur = _labels_checksum(labels)
+        logger.info("union-find round %d: checksum %d", it, cur)
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return _drop_anchor_rows(labels)
+
+
+def clusters_table(labels: rd.Dataset) -> rd.Dataset:
+    """(node,label) → ``(file_id, cluster_id)``."""
+    return labels.map_batches(
+        lambda t: t.rename_columns(["file_id", "cluster_id"]),
+        batch_format="pyarrow")

@@ -1,0 +1,186 @@
+"""Stage-2 MinHash/LSH/union-find tests: unit checks per operator plus the
+dup-pair recall >= 0.99 gate vs a brute-force Jaccard oracle (north_rule)."""
+
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from deduplicate_ray import PipelineConfig
+from deduplicate_ray.fixtures import fx_near_dup, fx_skew_boilerplate, file_id
+from deduplicate_ray.pipelines import dedup
+from deduplicate_ray.stages import exact, lsh, minhash
+from deduplicate_ray.state import unionfind
+
+
+# ---------------------------------------------------------------- minhash
+
+def test_shingle_hashes_deterministic_and_short():
+    a = minhash.shingle_hashes("hello world, hello", 5)
+    b = minhash.shingle_hashes("hello world, hello", 5)
+    assert np.array_equal(a, b)
+    assert minhash.shingle_hashes("", 5).size == 1
+    assert minhash.shingle_hashes("abc", 5).size == 1
+    assert not np.array_equal(
+        minhash.shingle_hashes("abc", 5), minhash.shingle_hashes("abd", 5))
+
+
+def true_jaccard(a: str, b: str, k: int = 5) -> float:
+    sa = set(minhash.shingle_hashes(a, k).tolist())
+    sb = set(minhash.shingle_hashes(b, k).tolist())
+    return len(sa & sb) / max(1, len(sa | sb))
+
+
+def test_minhash_estimates_jaccard_within_bounds():
+    """Property: MinHash estimate within 4 sigma of true Jaccard
+    (sigma = sqrt(J(1-J)/128) ~ 0.044)."""
+    rng = np.random.Generator(np.random.PCG64(7))
+    signer = minhash.MinHashSigner(PipelineConfig())
+    base = "".join(chr(97 + int(c)) for c in rng.integers(0, 26, 2000))
+    for edit_n in [0, 20, 100, 400]:
+        other = list(base)
+        for i in rng.choice(len(base), edit_n, replace=False):
+            other[int(i)] = chr(97 + int(rng.integers(0, 26)))
+        other = "".join(other)
+        j = true_jaccard(base, other)
+        sig = signer.signature_matrix([base, other])
+        est = minhash.jaccard_estimate(sig[0], sig[1])
+        assert abs(est - j) < 4 * np.sqrt(max(j * (1 - j), 0.01) / 128)
+
+
+def test_sign_corpus_schema_and_identity():
+    t = pa.table({"repo": ["r", "r"], "path": ["a", "b"], "commit": ["c", "c"],
+                  "lang": ["t", "t"],
+                  "content": ["same content here padded out", "same content here padded out"]})
+    hashed = exact.hash_corpus(rd.from_arrow(t), keep_content=True)
+    sigs = minhash.sign_corpus(hashed).take_all()
+    assert len(sigs) == 2
+    assert len(sigs[0]["sig"]) == 128
+    assert list(sigs[0]["sig"]) == list(sigs[1]["sig"])  # identical content
+
+
+def test_band_hashes_shape_and_collision():
+    cfg = PipelineConfig()
+    signer = minhash.MinHashSigner(cfg)
+    sig = signer.signature_matrix(["aaaa bbbb cccc dddd", "aaaa bbbb cccc dddd",
+                                   "totally different thing"])
+    bh = minhash.band_hashes(sig, cfg.lsh_bands, cfg.lsh_rows)
+    assert bh.shape == (3, 32)
+    assert np.array_equal(bh[0], bh[1])
+    assert not np.array_equal(bh[0], bh[2])
+
+
+# ---------------------------------------------------------------- union-find
+
+def test_driver_union_find_components():
+    edges = [("b", "a"), ("c", "b"), ("x", "y"), ("z", "z2"), ("y", "z")]
+    m = unionfind.driver_union_find(edges)
+    assert m["a"] == m["b"] == m["c"] == "a"
+    assert m["x"] == m["y"] == m["z"] == m["z2"] == "x"
+
+
+def test_connected_components_distributed_matches_driver():
+    rng = np.random.Generator(np.random.PCG64(3))
+    # random forest over 60 nodes in 6 chains
+    edges = []
+    for c in range(6):
+        nodes = [f"n{c}_{i}" for i in range(10)]
+        for a, b in zip(nodes, nodes[1:]):
+            edges.append({"src": a, "dst": b})
+    eds = rd.from_items(edges)
+    drv = unionfind.connected_components(eds)
+    dist = unionfind.connected_components(eds, driver_limit=0, num_partitions=4)
+    to_map = lambda ds: {r["node"]: r["label"] for r in ds.take_all()}
+    assert to_map(drv) == to_map(dist)
+
+
+# ---------------------------------------------------------------- recall
+
+def _oracle_pairs(fx, cfg):
+    """Brute-force Jaccard >= threshold, transitively closed — the
+    'reference clusters' oracle of BASELINE.md."""
+    ids, texts = [], []
+    for r in fx.rows:
+        ids.append(file_id(r["repo"], r["commit"], r["path"]))
+        texts.append(r["content"])
+    shingles = [set(minhash.shingle_hashes(t, cfg.shingle_k).tolist()) for t in texts]
+    edges = []
+    for i, j in itertools.combinations(range(len(ids)), 2):
+        inter = len(shingles[i] & shingles[j])
+        if inter == 0:
+            continue
+        jac = inter / len(shingles[i] | shingles[j])
+        if jac >= cfg.verify_threshold:
+            edges.append((ids[i], ids[j]))
+    m = unionfind.driver_union_find(edges)
+    comps = {}
+    for n, l in m.items():
+        comps.setdefault(l, set()).add(n)
+    pairs = set()
+    for members in comps.values():
+        for a, b in itertools.combinations(sorted(members), 2):
+            pairs.add((a, b))
+    return pairs
+
+
+def _cluster_pairs(clusters_ds):
+    comps = {}
+    for r in clusters_ds.take_all():
+        comps.setdefault(r["cluster_id"], set()).add(r["file_id"])
+    pairs = set()
+    for members in comps.values():
+        for a, b in itertools.combinations(sorted(members), 2):
+            pairs.add((a, b))
+    return pairs
+
+
+def test_near_dup_recall_ge_99():
+    fx = fx_near_dup()
+    cfg = PipelineConfig(verify_threshold=0.5)
+    oracle = _oracle_pairs(fx, cfg)
+    assert oracle, "fixture must contain near-dup pairs"
+    clusters = dedup.near_dup_clusters(rd.from_arrow(fx.table()), cfg)
+    got = _cluster_pairs(clusters)
+    recall = len(got & oracle) / len(oracle)
+    assert recall >= 0.99, f"recall {recall:.3f} < 0.99 ({len(oracle)} oracle pairs)"
+
+
+def test_salting_preserves_connectivity():
+    """skew_boilerplate with a tiny salt threshold: the repeated license /
+    stub files must still land in single clusters (star+chain+anchor edges
+    preserve connectivity through salted sub-buckets)."""
+    fx = fx_skew_boilerplate(n_repos=120)
+    cfg = PipelineConfig(salt_threshold=16, max_bucket_pairs=8,
+                         verify_threshold=0.5)
+    # no exact collapse: force the skewed buckets to actually form
+    clusters = dedup.near_dup_clusters(rd.from_arrow(fx.table()), cfg,
+                                       collapse_exact=False)
+    comp = {}
+    for r in clusters.take_all():
+        comp[r["file_id"]] = r["cluster_id"]
+    for grp in fx.exact_groups:  # license family, stub family
+        labels = {comp.get(f) for f in grp}
+        assert len(labels) == 1 and None not in labels, \
+            f"family split into {len(labels)} clusters"
+
+
+def test_exact_families_fold_into_clusters():
+    """Members of an exact family inherit the representative's cluster."""
+    t = pa.table({
+        "repo": ["r"] * 4, "path": ["a.py", "b.py", "c.py", "u.py"],
+        "commit": ["c"] * 4, "lang": ["py"] * 4,
+        "content": [
+            "def f():\n    return compute(x) + compute(y) + compute(z)\n" * 4,
+            "def f():\n    return compute(x) + compute(y) + compute(z)\n" * 4,
+            "def f():\n    return compute(x) + compute(y) + compute(q)\n" * 4,
+            "completely unrelated tiny file",
+        ]})
+    cfg = PipelineConfig(verify_threshold=0.5)
+    clusters = dedup.near_dup_clusters(rd.from_arrow(t), cfg)
+    comp = {r["file_id"]: r["cluster_id"] for r in clusters.take_all()}
+    fa, fb, fc = (file_id("r", "c", p) for p in ["a.py", "b.py", "c.py"])
+    fu = file_id("r", "c", "u.py")
+    assert comp[fa] == comp[fb] == comp[fc]
+    assert fu not in comp

@@ -1,0 +1,213 @@
+"""Tests for the training-data-pipeline operators: text analysis,
+similarity search, SimHash / n-gram / embedding dedup, multimodal plumbing,
+windows, and the checkpoint protocol."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from deduplicate_ray import PipelineConfig
+from deduplicate_ray.functions import text as textfn
+from deduplicate_ray.stages import multimodal, simdedup, similarity, windows
+from deduplicate_ray.state import checkpoint
+
+
+# ---------------------------------------------------------------- text
+
+def test_token_count_ws_matches_sql_semantics():
+    # DuckDB: array_length(regexp_split_to_array(trim(text), '\s+'))
+    assert textfn.token_count_ws("a  b\tc") == 3
+    assert textfn.token_count_ws("  hello  ") == 1
+    assert textfn.token_count_ws("") == 1  # empty token, SQL parity
+    assert textfn.token_count_ws("one") == 1
+
+
+def test_quality_and_lang_guess():
+    an = textfn.TextAnalyzer()
+    assert an.guess_lang("the cat and the dog of a house is that it") == "en"
+    assert an.guess_lang("der hund und die katze ist von ein haus") == "de"
+    assert an.guess_lang("") == "unknown"
+    q = textfn.quality_frame(["abc def!", ""])
+    assert q["n_chars_q"][0] == 8 and q["n_chars_q"][1] == 0
+    assert 0 < q["punct_ratio"][0] < 0.2
+
+
+def test_fingerprint_stable_and_edit_robust():
+    base = "x" * 50 + "the quick brown fox jumps over the lazy dog " * 20
+    assert textfn.rolling_fingerprint(base) == textfn.rolling_fingerprint(base)
+    # appending at the end usually keeps the min-window fingerprint
+    assert textfn.rolling_fingerprint(base) == textfn.rolling_fingerprint(base + "zz")
+
+
+# ---------------------------------------------------------------- similarity
+
+def _emb_ds(n=100, d=16, seed=5):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.reshape(-1), pa.float32()), d),
+    })
+    return rd.from_arrow(t), vecs
+
+
+def test_knn_cosine_matches_numpy_bruteforce():
+    ds, vecs = _emb_ds()
+    q = vecs[:3].astype(np.float64)
+    out = similarity.knn_cosine(ds, q, k=5, round_to=None).take_all()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["score"]))
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = vn @ qn.T
+    for qi in range(3):
+        expect = set(np.argsort(-sims[:, qi])[:5].tolist())
+        assert {v for v, _ in got[qi]} == expect
+
+
+def test_knn_lsh_same_bucket_returns_self():
+    ds, vecs = _emb_ds()
+    q = vecs[:2].astype(np.float64)
+    out = similarity.knn_cosine_lsh(ds, q, k=5).take_all()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # each query vector is its own nearest neighbor and shares its own bucket
+    assert 0 in by_q.get(0, set())
+    assert 1 in by_q.get(1, set())
+
+
+# ---------------------------------------------------------------- simdedup
+
+def test_simhash_near_duplicates_close():
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliett kilo lima mike november oscar papa quebec romeo "
+             "sierra tango uniform victor whiskey xray yankee zulu ")
+    a = words * 4
+    b = a.replace("zulu", "zebra", 1)  # single-token edit
+    c = "completely different vocabulary entirely unrelated thing " * 12
+    ha, hb, hc = (simdedup.simhash64(t) for t in (a, b, c))
+    assert simdedup.hamming64(ha, hb) <= 6
+    assert simdedup.hamming64(ha, hc) > 10
+
+
+def test_simhash_edges_pipeline():
+    rows = []
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    for i in range(4):
+        rows.append({"doc_id": i, "text": base})
+    rows.append({"doc_id": 99, "text": "nothing in common with the others at all " * 6})
+    ds = rd.from_items(rows)
+    edges = simdedup.simhash_edges(simdedup.add_simhash(ds), id_col="doc_id",
+                                   max_hamming=3).take_all()
+    pairs = {(r["src"], r["dst"]) for r in edges}
+    assert (0, 1) in pairs and (2, 3) in pairs
+    assert not any(99 in p for p in pairs)
+
+
+def test_ngram_jaccard_edges():
+    rows = [
+        {"doc_id": 1, "text": "one two three four five six seven eight nine ten"},
+        {"doc_id": 2, "text": "one two three four five six seven eight nine eleven"},
+        {"doc_id": 3, "text": "alpha beta gamma delta epsilon"},
+    ]
+    ds = rd.from_items(rows)
+    edges = simdedup.ngram_jaccard_edges(ds, id_col="doc_id", n=3,
+                                         threshold=0.5).take_all()
+    pairs = {(r["src"], r["dst"]) for r in edges}
+    assert (1, 2) in pairs and len(pairs) == 1
+
+
+def test_embedding_cosine_edges_finds_duplicated_vector():
+    rng = np.random.Generator(np.random.PCG64(9))
+    vecs = rng.standard_normal((50, 16)).astype(np.float32)
+    vecs[10] = vecs[3]  # exact duplicate vector
+    t = pa.table({
+        "vec_id": pa.array(range(50), pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.reshape(-1), pa.float32()), 16)})
+    edges = simdedup.embedding_cosine_edges(
+        rd.from_arrow(t), threshold=0.999).take_all()
+    assert {(r["src"], r["dst"]) for r in edges} == {(3, 10)}
+
+
+# ---------------------------------------------------------------- multimodal
+
+def test_multimodal_featurize_schema():
+    media = rd.from_arrow(multimodal.synth_media(n=8))
+    out = multimodal.featurize_images(media, out_dim=16).take_all()
+    assert len(out) == 8
+    assert len(out[0]["features"]) == 16
+    assert "payload" not in out[0]
+    # deterministic across runs
+    out2 = multimodal.featurize_images(
+        rd.from_arrow(multimodal.synth_media(n=8)), out_dim=16).take_all()
+    assert [r["features"] for r in sorted(out, key=lambda r: r["item_id"])] == \
+           [r["features"] for r in sorted(out2, key=lambda r: r["item_id"])]
+
+
+def test_multimodal_frame_sampler_explodes_rows():
+    media = rd.from_arrow(multimodal.synth_media(n=5))
+    out = multimodal.sample_frames(media, n_frames=3, frame_dim=8).take_all()
+    assert len(out) == 15
+    assert {r["frame"] for r in out} == {0, 1, 2}
+
+
+# ---------------------------------------------------------------- windows
+
+def test_tumbling_aggregate_matches_pandas():
+    ts = pd.to_datetime([
+        "2024-01-01 10:05", "2024-01-01 10:55", "2024-01-01 11:05",
+        "2024-01-01 10:30", "2024-01-01 12:00"])
+    df = pd.DataFrame({"user_id": [1, 1, 1, 2, 2],
+                       "ts": ts, "value": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    out = windows.tumbling_aggregate(rd.from_pandas(df), 3600).take_all()
+    m = {(r["user_id"], str(r["window_start"])): (r["n_events"], r["value_sum"])
+         for r in out}
+    assert m[(1, "2024-01-01 10:00:00")] == (2, 3.0)
+    assert m[(1, "2024-01-01 11:00:00")] == (1, 3.0)
+    assert m[(2, "2024-01-01 12:00:00")] == (1, 5.0)
+
+
+def test_sessionize_gap_splits():
+    ts = pd.to_datetime([
+        "2024-01-01 10:00", "2024-01-01 10:10", "2024-01-01 12:00",
+        "2024-01-01 12:20"])
+    df = pd.DataFrame({"user_id": [7, 7, 7, 7], "ts": ts})
+    out = windows.sessionize(rd.from_pandas(df), gap_s=1800).take_all()
+    assert len(out) == 2
+    sizes = sorted(r["n_events"] for r in out)
+    assert sizes == [2, 2]
+
+
+# ---------------------------------------------------------------- checkpoint
+
+def test_checkpoint_write_resume(tmp_path):
+    root = str(tmp_path)
+    calls = {"n": 0}
+
+    def factory():
+        calls["n"] += 1
+        return rd.from_items([{"a": i} for i in range(10)])
+
+    ds1 = checkpoint.checkpointed(factory, root, "stage1", "fp1")
+    assert ds1.count() == 10 and calls["n"] == 1
+    # resume: same fingerprint -> factory NOT called again
+    ds2 = checkpoint.checkpointed(factory, root, "stage1", "fp1")
+    assert ds2.count() == 10 and calls["n"] == 1
+    # changed fingerprint -> recompute (fixes the reference's existence-only
+    # cache check, dupe_analysis.py:93-97)
+    ds3 = checkpoint.checkpointed(factory, root, "stage1", "fp2")
+    assert ds3.count() == 10 and calls["n"] == 2
+    m = checkpoint.load_manifest(root, "stage1")
+    assert m["complete"] and m["rows"] == 10 and m["partitions"]
+
+
+def test_config_fingerprint_changes_with_config():
+    assert PipelineConfig().fingerprint() == PipelineConfig().fingerprint()
+    assert PipelineConfig().fingerprint() != \
+        PipelineConfig(shingle_k=7).fingerprint()

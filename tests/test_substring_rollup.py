@@ -1,0 +1,116 @@
+"""Stage-3 containment + roll-up / keeper-election tests (reference phase-2
+capability parity; scenarios mirror test_deduplicate.py supersets/nesting)."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from deduplicate_ray import PipelineConfig
+from deduplicate_ray.fixtures import fx_embedded, file_id
+from deduplicate_ray.stages import exact, rollup, substring
+
+
+def test_containment_pairs_in_group_unit():
+    ids = ["inner", "outer", "other", "tiny"]
+    contents = [
+        "A" * 40 + "B" * 24,
+        "X" * 10 + "A" * 40 + "B" * 24 + "Y" * 5,
+        "Z" * 100,
+        "A",  # below min_len
+    ]
+    pairs = substring.containment_pairs_in_group(ids, contents, min_len=32)
+    assert pairs == [("inner", "outer")]
+
+
+def test_containment_equal_contents_not_reported():
+    pairs = substring.containment_pairs_in_group(
+        ["a", "b"], ["Q" * 64, "Q" * 64], min_len=32)
+    assert pairs == []
+
+
+def test_embedded_fixture_edges():
+    fx = fx_embedded(n_pairs=6)
+    cfg = PipelineConfig()
+    ds = substring.add_ids_only(rd.from_arrow(fx.table()))
+    edges = substring.containment_edges(ds, cfg)
+    got = {(r["src"], r["dst"]) for r in edges.take_all()}
+    for inner, outer in fx.containments:
+        assert (inner, outer) in got, f"missing containment {inner} in {outer}"
+
+
+def _members(table):
+    hashes = exact.hash_corpus(rd.from_arrow(table))
+    return exact.exact_members(hashes)
+
+
+def _tbl(rows):
+    return pa.table({
+        "repo": [r[0] for r in rows], "path": [r[1] for r in rows],
+        "commit": ["c"] * len(rows), "lang": ["t"] * len(rows),
+        "content": [r[2] for r in rows]})
+
+
+def test_dir_rollup_ancestor_counts():
+    t = _tbl([
+        ("r", "a/f1.txt", "dup" * 100),
+        ("r", "a/b/f2.txt", "dup" * 100),
+        ("r", "a/b/f3.txt", "unique" * 50),
+    ])
+    hashes = exact.hash_corpus(rd.from_arrow(t))
+    members = exact.exact_members(hashes)
+    roll = {r["dir"]: r for r in
+            rollup.dir_rollup(members, hashes).take_all()}
+    assert roll["r"]["total_count"] == 3
+    assert roll["r"]["dupe_count"] == 2
+    assert roll["r/a"]["total_count"] == 3
+    assert roll["r/a/b"]["total_count"] == 2
+    assert roll["r/a/b"]["dupe_count"] == 1
+    assert roll["r/a/b"]["uniq_count"] == 1
+
+
+def test_keeper_election_superset_dir_wins():
+    """Mirrors test_deduplicate.py superset scenarios: the dir holding more
+    duplicates is elected keeper; copies elsewhere are deleted."""
+    t = _tbl([
+        ("r", "full/x.txt", "X" * 500),
+        ("r", "full/y.txt", "Y" * 500),
+        ("r", "partial/x.txt", "X" * 500),
+        ("r", "other/y.txt", "Y" * 500),
+    ])
+    keepers = rollup.elect_keepers(_members(t))
+    rows = {r["file_id"]: r for r in keepers.take_all()}
+    fx_full_x = file_id("r", "c", "full/x.txt")
+    fx_full_y = file_id("r", "c", "full/y.txt")
+    fx_part_x = file_id("r", "c", "partial/x.txt")
+    fx_other_y = file_id("r", "c", "other/y.txt")
+    assert rows[fx_full_x]["is_kept"] and rows[fx_full_y]["is_kept"]
+    assert not rows[fx_part_x]["is_kept"]
+    assert not rows[fx_other_y]["is_kept"]
+    assert rows[fx_part_x]["keeper"] == fx_full_x
+    assert rows[fx_part_x]["keeper_dir"] == "r/full"
+
+
+def test_dupe_report_and_freed_bytes():
+    t = _tbl([
+        ("r", "a/x.txt", "X" * 100),
+        ("r", "b/x.txt", "X" * 100),
+    ])
+    keepers = rollup.elect_keepers(_members(t))
+    report = rollup.dupe_report(keepers)
+    rows = report.take_all()
+    assert len(rows) == 1
+    assert rows[0]["size"] == 100
+    assert rollup.freed_bytes(report) == 100
+    assert list(rows[0].keys()) == ["to_delete", "keeper", "keeper_dir", "size"]
+
+
+def test_keeper_deterministic():
+    t = _tbl([
+        ("r", "a/x.txt", "X" * 100),
+        ("r", "b/x.txt", "X" * 100),
+    ])
+    k1 = rollup.elect_keepers(_members(t)).take_all()
+    k2 = rollup.elect_keepers(_members(t)).take_all()
+    assert k1 == k2
+    # tie between dirs a and b -> lexicographically smallest dir kept
+    kept = [r for r in k1 if r["is_kept"]]
+    assert kept[0]["dir"] == "r/a"
