@@ -73,8 +73,21 @@ class PipelineConfig:
 
     # ---- execution ------------------------------------------------------
     batch_size: int = 1024          # rows per map_batches batch (wide text rows)
+    #: signer batches are much smaller than general batches, for two
+    #: measured reasons: (a) fine batches load-balance the long-tailed
+    #: lognormal doc sizes, and (b) the per-perm minhash pass re-reads the
+    #: batch shingle buffer 128 times — at 32 rows the buffer stays
+    #: L2-resident per worker instead of thrashing the shared L3
+    #: (9.3s vs 13.4s vs 29s for bs=32/128/512 at 100k docs, 32 cpus)
+    signer_batch_size: int = 32
     signer_concurrency: int | tuple[int, int] = (1, 4)  # MinHash actor pool (min, max)
     num_partitions: int = 16        # hash-join / shuffle partition count
+    #: When the narrow (file_id, sha256) metadata relation has at most this
+    #: many rows, representative election and family fold-in run driver-side
+    #: in pandas (one fetch of the pinned relation) instead of as
+    #: distributed groupbys/joins — the metadata analog of the union-find
+    #: driver fast path. Beyond the limit the distributed path runs.
+    driver_metadata_limit: int = 2_000_000
     checkpoint_dir: str | None = None   # stage checkpoints live here when set
     resume: bool = True             # skip stages with a complete, matching manifest
 

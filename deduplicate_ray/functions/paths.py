@@ -57,6 +57,17 @@ def make_exclude_filter(globs: tuple[str, ...] | list[str], column: str = "path"
     return _filter
 
 
+def human_size(n: int) -> str:
+    """B→KB→…→YB formatting (M8, ``dupe_utils.py:53-67``) — driver-side
+    report formatting only."""
+    size = float(n)
+    for unit in ["B", "KB", "MB", "GB", "TB", "PB", "EB", "ZB"]:
+        if abs(size) < 1024.0:
+            return f"{size:.2f} {unit}"
+        size /= 1024.0
+    return f"{size:.2f} YB"
+
+
 def add_dirpath(batch: pa.Table) -> pa.Table:
     """Append ``dir = repo || '/' || dirname(path)`` (M6: ``os.path.dirname``
     per path, ``dupe_utils.py:14-16``; in the corpus model the directory key

@@ -62,23 +62,72 @@ def near_dup_clusters(corpus: rd.Dataset, cfg: PipelineConfig | None = None,
         lambda t: t.drop_columns(["content"]), batch_format="pyarrow"),
         cfg, "hashes")
 
+    # Driver fast path for the narrow METADATA relation (the analog of the
+    # union-find driver path): when (file_id, sha256) fits the driver,
+    # representative election + family fold-in run in pandas on one fetch —
+    # saving four distributed executions and two shuffles of fixed latency.
+    # The distributed path is identical in semantics and kicks in beyond
+    # cfg.driver_metadata_limit.
+    meta_tbl = None
     if collapse_exact:
-        rep_ids = exact.representatives(narrow).select_columns(
-            ["rep_file_id"]).map_batches(
-            lambda t: t.rename_columns(["file_id"]), batch_format="pyarrow")
-        reps = joins.semi_join(hashed, rep_ids, "file_id",
-                               num_partitions=cfg.num_partitions)
+        # count() on the pinned relation is metadata-only; the fetch stays
+        # in Arrow and the election uses arrow's C++ hash aggregate + join
+        # (sub-second at 200k rows vs ~8 s through pandas/take)
+        if narrow.count() <= cfg.driver_metadata_limit:
+            import ray as _ray0
+            meta_tbl = pa.concat_tables(
+                _ray0.get(narrow.select_columns(
+                    ["file_id", "sha256"]).to_arrow_refs()))
+            reps_tbl = pa.TableGroupBy(meta_tbl, "sha256").aggregate(
+                [("file_id", "min")])
+            meta_tbl = meta_tbl.join(reps_tbl, keys="sha256")
+            meta_tbl = meta_tbl.rename_columns(
+                ["rep_file_id" if c == "file_id_min" else c
+                 for c in meta_tbl.column_names])
+
+    if collapse_exact:
+        if meta_tbl is not None:
+            import ray as _ray
+            rep_ref = _ray.put(
+                set(pc.unique(meta_tbl.column("rep_file_id")).to_pylist()))
+
+            def keep_reps(t: pa.Table) -> pa.Table:
+                keep = _ray.get(rep_ref)
+                mask = pa.array([f in keep
+                                 for f in t.column("file_id").to_pylist()])
+                return t.filter(mask)
+
+            reps = hashed.map_batches(keep_reps, batch_format="pyarrow")
+        else:
+            rep_ids = exact.representatives(narrow).select_columns(
+                ["rep_file_id"]).map_batches(
+                lambda t: t.rename_columns(["file_id"]), batch_format="pyarrow")
+            reps = joins.semi_join(hashed, rep_ids, "file_id",
+                                   num_partitions=cfg.num_partitions)
     else:
         reps = hashed
 
     sigs = _pin(lambda: minhash.sign_corpus(reps, cfg), cfg, "signatures")
-    bands = _pin(lambda: minhash.explode_bands(sigs, cfg), cfg, "bands")
+    # bands stay lazy without a checkpoint dir: explode is a cheap vector op
+    # over the pinned signatures, not worth an object-store round trip
+    if cfg.checkpoint_dir:
+        bands = _pin(lambda: minhash.explode_bands(sigs, cfg), cfg, "bands")
+    else:
+        bands = minhash.explode_bands(sigs, cfg)
 
     def _edges():
+        # verify BEFORE the global pair dedup: verification is a cheap
+        # vectorized per-row filter, while dedup is a shuffle — shuffling
+        # only the survivors is far cheaper on candidate-storm inputs.
         e = lsh.candidate_pairs(bands, cfg)
-        return lsh.verify_pairs(e, sigs, cfg)
+        return lsh.dedup_edges(lsh.verify_pairs(e, sigs, cfg))
 
-    edges = _pin(_edges, cfg, "edges")
+    if cfg.checkpoint_dir:
+        edges = _pin(_edges, cfg, "edges")
+    else:
+        # lazy: union-find's single take() probe is the one consumer, so an
+        # object-store pin here would only add a barrier
+        edges = _edges()
 
     if with_substring:
         sub = _pin(lambda: substring.containment_edges(reps, cfg),
@@ -97,6 +146,28 @@ def near_dup_clusters(corpus: rd.Dataset, cfg: PipelineConfig | None = None,
     # representative's cluster id; families whose representative is in no
     # near-dup cluster become their own cluster (id = representative file_id)
     # when the family has >1 member.
+    if meta_tbl is not None:
+        # driver fold over the already-fetched metadata table (arrow joins)
+        rep_cl_rows = rep_clusters.take_all()
+        rep_cl = pa.table({
+            "rep_file_id": pa.array([r["file_id"] for r in rep_cl_rows],
+                                    pa.string()),
+            "cluster_id": pa.array([r["cluster_id"] for r in rep_cl_rows],
+                                   pa.string())})
+        fam_sizes = pa.TableGroupBy(meta_tbl, "rep_file_id").aggregate(
+            [("file_id", "count")]).rename_columns(
+            ["rep_file_id", "fam_size"])
+        t = meta_tbl.join(rep_cl, keys="rep_file_id", join_type="left outer")
+        t = t.join(fam_sizes, keys="rep_file_id")
+        keep = pc.or_(pc.is_valid(t.column("cluster_id")),
+                      pc.greater(t.column("fam_size"), 1))
+        t = t.filter(keep)
+        cluster = pc.coalesce(t.column("cluster_id"), t.column("rep_file_id"))
+        return rd.from_arrow(pa.table({
+            "file_id": t.column("file_id").combine_chunks(),
+            "cluster_id": cluster.combine_chunks()
+            if isinstance(cluster, pa.ChunkedArray) else cluster}))
+
     member_map = exact.representatives(narrow)  # (sha256, rep_file_id)
     fam = joins.bucket_join(
         narrow.select_columns(["file_id", "sha256"]), member_map,
@@ -161,6 +232,27 @@ def assign_all(corpus: rd.Dataset, clusters: rd.Dataset,
                                     names=["file_id", "cluster_id"])
 
     return joined.map_batches(fill, batch_format="pyarrow")
+
+
+def merge_corpora(corpora: list[rd.Dataset]) -> rd.Dataset:
+    """Analysis-set merge (D2/S7): the reference merges per-dir SQLite DBs
+    with ``INSERT OR IGNORE`` then re-hashes across the merged population
+    (``dupe_analysis.py:454-495``). Here merge = ``Dataset.union`` followed
+    by re-running the (cheap, total, per-row) hash grouping downstream —
+    a file unique in one corpus correctly becomes a dupe against the other,
+    with no cross-set recompute. Duplicate ``(repo, commit, path)`` rows
+    collapse to one (the UNIQUE-path semantic)."""
+    assert corpora, "need at least one corpus"
+    merged = corpora[0]
+    for c in corpora[1:]:
+        merged = merged.union(c)
+
+    def drop_dup_ids(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["repo", "commit", "path"])
+
+    # INSERT OR IGNORE on the composite identity
+    return merged.groupby(["repo", "commit", "path"]).map_groups(
+        drop_dup_ids, batch_format="pandas")
 
 
 def full_dedup(corpus: rd.Dataset, cfg: PipelineConfig | None = None) -> dict:

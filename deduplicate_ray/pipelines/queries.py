@@ -137,6 +137,63 @@ def q_containment_docs(sf_dir: str):
         ("src", pa.string()), ("dst", pa.string())]))
 
 
+def q_cascade_dup_groups_docs(sf_dir: str):
+    """Faithful cascade mode (size → beg → rev → full hash) over documents;
+    with complete_hash=True the final key equals sha256(text), which DuckDB
+    can reproduce — an end-to-end oracle for the cascade operator."""
+    corpus = documents_as_corpus(sf_dir)
+    cfg = PipelineConfig(cascade=True, complete_hash=True)
+    out = exact.cascade_members(corpus, cfg).select_columns(
+        ["file_id", "exact_group_id"])
+    return _as_table(out, pa.schema([
+        ("file_id", pa.string()), ("exact_group_id", pa.string())]))
+
+
+def q_dir_rollup_docs(sf_dir: str):
+    """A3 directory roll-up over the documents-as-corpus table (dir = source
+    partition; md5-keyed dup membership for SQL parity)."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        md5s = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+        sizes = [len((t or "").encode()) for t in texts]
+        return pa.table({
+            "repo": batch.column("source").cast(pa.string()),
+            "path": pa.array([f"doc{v}.txt" for v in
+                              batch.column("doc_id").to_pylist()]),
+            "file_id": pa.array(md5s),  # placeholder unique-enough id
+            "sha256": pa.array(md5s),
+            "size": pa.array(sizes, pa.int64()),
+        })
+
+    hashes = docs.map_batches(prep, batch_format="pyarrow")
+    # file_id must be unique per row for membership marking — use doc path
+    hashes = hashes.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("file_id"), "file_id",
+                               pc.binary_join_element_wise(
+                                   t.column("repo"), t.column("path"), ":")),
+        batch_format="pyarrow")
+    members = exact.exact_members(hashes, key="sha256")
+    out = rollup.dir_rollup(members, hashes)
+    return _as_table(out, pa.schema([
+        ("dir", pa.string()), ("total_count", pa.int64()),
+        ("dupe_count", pa.int64()), ("bytes", pa.int64()),
+        ("uniq_count", pa.int64())]))
+
+
+def q_keeper_report_docs(sf_dir: str):
+    """Greedy keeper election + delete report over documents (rows-only —
+    the greedy multi-pass policy is not SQL-expressible)."""
+    corpus = documents_as_corpus(sf_dir)
+    hashes = exact.hash_corpus(corpus)
+    members = exact.exact_members(hashes)
+    report = rollup.dupe_report(rollup.elect_keepers(members))
+    return _as_table(report, pa.schema([
+        ("to_delete", pa.string()), ("keeper", pa.string()),
+        ("keeper_dir", pa.string()), ("size", pa.int64())]))
+
+
 # ---------------------------------------------------------------- text ops
 
 def q_token_counts_docs(sf_dir: str):
@@ -352,6 +409,9 @@ QUERIES = {
     "simhash_pairs_docs": q_simhash_pairs_docs,
     "ngram_jaccard_pairs_docs": q_ngram_jaccard_pairs_docs,
     "containment_docs": q_containment_docs,
+    "cascade_dup_groups_docs": q_cascade_dup_groups_docs,
+    "dir_rollup_docs": q_dir_rollup_docs,
+    "keeper_report_docs": q_keeper_report_docs,
     "token_counts_docs": q_token_counts_docs,
     "lang_stats_docs": q_lang_stats_docs,
     "lang_guess_docs": q_lang_guess_docs,
@@ -385,6 +445,25 @@ ORACLE_SQL = {
         SELECT doc_id, md5(text) AS text_md5 FROM documents
         WHERE md5(text) IN (
             SELECT md5(text) FROM documents GROUP BY 1 HAVING COUNT(*) > 1)
+    """,
+    "cascade_dup_groups_docs": """
+        SELECT source || '::doc' || CAST(doc_id AS VARCHAR) || '.txt' AS file_id,
+               sha256(text) AS exact_group_id
+        FROM documents
+        WHERE sha256(text) IN (
+            SELECT sha256(text) FROM documents GROUP BY 1 HAVING COUNT(*) > 1)
+    """,
+    "dir_rollup_docs": """
+        WITH h AS (SELECT source, md5(text) AS m,
+                          CAST(strlen(text) AS BIGINT) AS sz
+                   FROM documents),
+        d AS (SELECT m FROM h GROUP BY m HAVING COUNT(*) > 1)
+        SELECT source AS dir, COUNT(*) AS total_count,
+               SUM(CASE WHEN m IN (SELECT m FROM d) THEN 1 ELSE 0 END) AS dupe_count,
+               SUM(sz) AS bytes,
+               COUNT(*) - SUM(CASE WHEN m IN (SELECT m FROM d) THEN 1 ELSE 0 END)
+                   AS uniq_count
+        FROM h GROUP BY source
     """,
     "token_counts_docs": """
         SELECT doc_id,

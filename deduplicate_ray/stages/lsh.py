@@ -43,6 +43,9 @@ logger = logging.getLogger(__name__)
 
 ANCHOR_PREFIX = "~bucket:"
 
+# per-worker-process cache for the broadcast verify state (see verify_fn)
+_VERIFY_CACHE: dict = {}
+
 
 def _fid_salt(fid: str, k: int) -> int:
     # stable across processes (not Python's randomized hash()); 1-based so a
@@ -53,12 +56,49 @@ def _fid_salt(fid: str, k: int) -> int:
     return 1 + zlib.crc32(fid.encode()) % k
 
 
+def _partition_col(batch: pa.Table, n_parts: int, with_salt: bool) -> pa.Table:
+    bh = np.asarray(batch.column("band_hash").to_pylist(), dtype=np.int64)
+    bid = np.asarray(batch.column("band_id").to_pylist(), dtype=np.int64)
+    mix = (bh.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+           ^ bid.view(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
+    if with_salt:
+        salt = np.asarray(batch.column("salt").to_pylist(), dtype=np.int64)
+        mix = mix ^ salt.view(np.uint64) * np.uint64(0x165667B19E3779F9)
+    return batch.append_column(
+        "_p", pa.array((mix % np.uint64(n_parts)).astype(np.int32)))
+
+
+def oversized_buckets(bands: rd.Dataset, cfg: PipelineConfig) -> list[dict]:
+    """Bucket keys with more than ``salt_threshold`` members.
+
+    NOT a full ``groupby(bucket_key)`` aggregate: with hundreds of thousands
+    of (mostly singleton) buckets, Ray's per-group aggregate overhead
+    dominates (~20 s at 2.5M band rows). Instead rows are hash-partitioned
+    into ``4*num_partitions`` partitions (whole buckets stay together) and
+    each partition counts its keys with one vectorized pandas
+    ``value_counts`` — measured ~10x faster, still exact.
+    """
+    n_parts = cfg.num_partitions * 4
+
+    def count_big(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g.groupby(["band_id", "band_hash"], sort=False).size()
+        vc = vc[vc > cfg.salt_threshold]
+        out = vc.reset_index()
+        out.columns = ["band_id", "band_hash", "n"]
+        return out
+
+    parted = bands.select_columns(["band_id", "band_hash"]).map_batches(
+        lambda t: _partition_col(t, n_parts, with_salt=False),
+        batch_format="pyarrow")
+    return parted.groupby("_p").map_groups(count_big,
+                                           batch_format="pandas").take_all()
+
+
 def add_salt(bands: rd.Dataset, cfg: PipelineConfig) -> rd.Dataset:
-    """Append the ``salt`` column: 0 normally; hash(file_id) % k for rows in
-    oversized buckets. The oversized-key → k map is tiny and broadcast."""
-    sizes = bands.groupby(["band_id", "band_hash"]).aggregate(Count(alias_name="n"))
-    big = sizes.filter(expr=f"n > {cfg.salt_threshold}")
-    big_rows = big.take_all()  # bounded: one row per *oversized* bucket
+    """Append the ``salt`` column: 0 normally; 1 + hash(file_id) % k for
+    rows in oversized buckets. The oversized-key → k map is tiny and
+    broadcast."""
+    big_rows = oversized_buckets(bands, cfg)  # one row per oversized bucket
     if big_rows:
         logger.info("lsh: salting %d oversized band buckets (max n=%d)",
                     len(big_rows), max(r["n"] for r in big_rows))
@@ -102,62 +142,63 @@ def candidate_pairs(bands: rd.Dataset, cfg: PipelineConfig | None = None) -> rd.
     max_n = cfg.max_bucket_pairs
     n_parts = cfg.num_partitions * 4
 
-    def add_part(batch: pa.Table) -> pa.Table:
-        bh = np.asarray(batch.column("band_hash").to_pylist(), dtype=np.int64)
-        bid = np.asarray(batch.column("band_id").to_pylist(), dtype=np.int64)
-        salt = np.asarray(batch.column("salt").to_pylist(), dtype=np.int64)
-        mix = (bh.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-               ^ bid.view(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
-               ^ salt.view(np.uint64) * np.uint64(0x165667B19E3779F9))
-        return batch.append_column(
-            "_p", pa.array((mix % np.uint64(n_parts)).astype(np.int32)))
-
-    parted = salted.map_batches(add_part, batch_format="pyarrow")
+    parted = salted.map_batches(
+        lambda t: _partition_col(t, n_parts, with_salt=True),
+        batch_format="pyarrow")
 
     def emit_partition(g: pd.DataFrame) -> pd.DataFrame:
         keys = ["band_id", "band_hash", "salt"]
         g = g.drop_duplicates(subset=keys + ["file_id"])
         sizes = g.groupby(keys, sort=False)["file_id"].transform("size")
-        src: list[str] = []
-        dst: list[str] = []
+        srcs: list[np.ndarray] = []
+        dsts: list[np.ndarray] = []
         multi = g[sizes >= 2]
-        for (bid, bh, salt), sub in multi.groupby(keys, sort=False):
-            fids = sorted(sub["file_id"])
+        for _, sub in multi.groupby(keys, sort=False):
+            fids = np.sort(sub["file_id"].to_numpy())
             n = len(fids)
             if n <= max_n:
-                for i in range(n):
-                    for j in range(i + 1, n):
-                        src.append(fids[i]); dst.append(fids[j])
+                ii, jj = np.triu_indices(n, k=1)
+                srcs.append(fids[ii]); dsts.append(fids[jj])
             else:
                 # star to representative + sorted-adjacent chain: O(n)
                 # edges, connectivity preserved; pair-level completeness
                 # truncated (counted by truncation_metrics).
-                rep = fids[0]
-                src.extend([rep] * (n - 1)); dst.extend(fids[1:])
-                src.extend(fids[1:-1]); dst.extend(fids[2:])
+                srcs.append(np.full(n - 1, fids[0])); dsts.append(fids[1:])
+                srcs.append(fids[1:-1]); dsts.append(fids[2:])
         # salted sub-buckets bridge through the bucket anchor (vectorized)
         srows = g[g["salt"] != 0]
         if len(srows):
             mins = srows.groupby(keys, sort=False)["file_id"].min().reset_index()
-            src.extend(mins["file_id"].tolist())
-            dst.extend(ANCHOR_PREFIX + mins["band_id"].astype(str) + ":"
-                       + mins["band_hash"].astype(str))
-        return pd.DataFrame({"src": src, "dst": dst}, columns=["src", "dst"])
+            srcs.append(mins["file_id"].to_numpy())
+            dsts.append((ANCHOR_PREFIX + mins["band_id"].astype(str) + ":"
+                         + mins["band_hash"].astype(str)).to_numpy())
+        if not srcs:
+            return pd.DataFrame({"src": [], "dst": []}, dtype=str)
+        out = pd.DataFrame({"src": np.concatenate(srcs),
+                            "dst": np.concatenate(dsts)})
+        # partition-local dedup (same pair from several bands of this
+        # partition); the cheap global dedup runs AFTER verification, on the
+        # far smaller survivor set (see dedup_edges / verify_pairs ordering)
+        return out.drop_duplicates()
 
-    edges = parted.groupby("_p").map_groups(emit_partition,
-                                            batch_format="pandas")
-    # multi-band duplicates of the same pair collapse before verification
-    return edges.groupby(["src", "dst"]).aggregate(Count(alias_name="_nb")) \
-                .select_columns(["src", "dst"])
+    return parted.groupby("_p").map_groups(emit_partition,
+                                           batch_format="pandas")
+
+
+def dedup_edges(edges: rd.Dataset) -> rd.Dataset:
+    """Collapse multi-band duplicates of the same pair (one groupby)."""
+    return edges.select_columns(["src", "dst"]).groupby(["src", "dst"]) \
+        .aggregate(Count(alias_name="_nb")).select_columns(["src", "dst"])
 
 
 def truncation_metrics(bands: rd.Dataset, cfg: PipelineConfig | None = None) -> dict:
     """No-silent-caps accounting: buckets whose pair expansion was truncated
     and buckets that were salted."""
     cfg = cfg or PipelineConfig()
-    sizes = bands.groupby(["band_id", "band_hash"]).aggregate(Count(alias_name="n"))
-    trunc = sizes.filter(expr=f"n > {cfg.max_bucket_pairs}").count()
-    salted = sizes.filter(expr=f"n > {cfg.salt_threshold}").count()
+    trunc_cfg = PipelineConfig(**{**cfg.__dict__,
+                                  "salt_threshold": cfg.max_bucket_pairs})
+    trunc = len(oversized_buckets(bands, trunc_cfg))
+    salted = len(oversized_buckets(bands, cfg))
     return {"truncated_buckets": trunc, "salted_buckets": salted}
 
 
@@ -175,56 +216,107 @@ def verify_pairs(edges: rd.Dataset, signatures: rd.Dataset,
 
     n_sigs = signatures.count()
     if n_sigs <= broadcast_limit:
-        sig_map = {}
+        ids: list[str] = []
+        mats: list[np.ndarray] = []
         for b in signatures.iter_batches(batch_format="pyarrow"):
             fids = b.column("file_id").to_pylist()
-            mat = np.asarray(b.column("sig").combine_chunks().flatten()).reshape(
-                len(fids), -1)
-            for i, f in enumerate(fids):
-                sig_map[f] = mat[i]
-        ref = ray.put(sig_map)
+            ids.extend(fids)
+            mats.append(np.asarray(
+                b.column("sig").combine_chunks().flatten()).reshape(len(fids), -1))
+        mat = np.concatenate(mats) if mats else np.zeros((0, cfg.num_perms), np.uint64)
+        ref = ray.put((ids, mat))
         thr = cfg.verify_threshold
 
-        def verify(batch: pa.Table) -> pa.Table:
-            sigs = ray.get(ref)
+        def verify_fn(batch: pa.Table) -> pa.Table:
+            # id→row index + signature matrix cached once per worker process
+            # (broadcast object fetched once); per batch one vectorized
+            # row-gather + elementwise compare — no per-edge Python.
+            state = _VERIFY_CACHE.get(ref.hex())
+            if state is None:
+                ids_, mat_ = ray.get(ref)
+                state = ({f: i for i, f in enumerate(ids_)}, mat_)
+                _VERIFY_CACHE.clear()   # one live verify set per worker
+                _VERIFY_CACHE[ref.hex()] = state
+            idx, m = state
             srcs = batch.column("src").to_pylist()
             dsts = batch.column("dst").to_pylist()
-            est = np.empty(len(srcs), dtype=np.float64)
+            n = len(srcs)
+            ia = np.empty(n, dtype=np.int64)
+            ib = np.empty(n, dtype=np.int64)
+            anchor = np.zeros(n, dtype=bool)
             for i, (s, d) in enumerate(zip(srcs, dsts)):
-                if d.startswith(ANCHOR_PREFIX) or s.startswith(ANCHOR_PREFIX):
-                    est[i] = 1.0
-                    continue
-                sa, sb = sigs.get(s), sigs.get(d)
-                est[i] = float(np.mean(sa == sb)) if sa is not None and sb is not None else 1.0
+                a = idx.get(s, -1)
+                b = idx.get(d, -1)
+                if a < 0 or b < 0:   # anchor / unknown side: keep
+                    anchor[i] = True
+                    a = b = 0
+                ia[i] = a; ib[i] = b
+            est = (m[ia] == m[ib]).mean(axis=1) if n else np.zeros(0)
+            est[anchor] = 1.0
             batch = batch.append_column("jaccard_est", pa.array(est))
             return batch.filter(pa.array(est >= thr))
 
-        return edges.map_batches(verify, batch_format="pyarrow")
+        return edges.map_batches(verify_fn, batch_format="pyarrow",
+                                 batch_size=65536)
 
     # scale path: two bucketed hash joins carry each side's signature to the
-    # edge relation
+    # edge relation — fully distributed, no driver serialization (the
+    # broadcast path's driver-side signature fetch is Amdahl serial work
+    # that grows with the corpus).
     from deduplicate_ray.stages.joins import bucket_join
 
     def _renamed(side: str) -> rd.Dataset:
-        return signatures.map_batches(
-            lambda t, side=side: t.rename_columns([side, f"sig_{side}"]),
-            batch_format="pyarrow")
+        # signature → one binary blob per row: survives the pandas round
+        # trip inside bucket_join intact (list columns degrade to ragged
+        # object arrays there)
+        def to_blob(t: pa.Table, side=side) -> pa.Table:
+            nrows = t.num_rows
+            flat = np.asarray(t.column("sig").combine_chunks().flatten(),
+                              dtype=np.uint64)
+            buf = flat.tobytes()
+            w = cfg.num_perms * 8
+            blobs = [buf[i * w:(i + 1) * w] for i in range(nrows)]
+            return pa.table({side: t.column("file_id"),
+                             f"sig_{side}": pa.array(blobs, pa.binary())})
+
+        return signatures.map_batches(to_blob, batch_format="pyarrow")
 
     joined = bucket_join(edges, _renamed("src"), on="src", how="left",
                          num_buckets=cfg.num_partitions)
     joined = bucket_join(joined, _renamed("dst"), on="dst", how="left",
                          num_buckets=cfg.num_partitions)
     thr = cfg.verify_threshold
+    perms = cfg.num_perms
 
     def verify_joined(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        if n == 0:
+            return batch.append_column("jaccard_est",
+                                       pa.array([], pa.float64())) \
+                        .drop_columns(["sig_src", "sig_dst"])
         est = np.ones(n, dtype=np.float64)
-        sa_col, sb_col = batch.column("sig_src"), batch.column("sig_dst")
-        for i in range(n):
-            sa, sb = sa_col[i].as_py(), sb_col[i].as_py()
-            if sa is not None and sb is not None:
-                est[i] = float(np.mean(np.array(sa) == np.array(sb)))
-        batch = batch.append_column("jaccard_est", pa.array(est))
-        return batch.filter(pa.array(est >= thr)).drop_columns(["sig_src", "sig_dst"])
 
-    return joined.map_batches(verify_joined, batch_format="pyarrow")
+        import pyarrow.compute as pc
+        zero_blob = b"\x00" * (perms * 8)
+
+        def to_mat(col) -> tuple[np.ndarray, np.ndarray]:
+            # binary-blob column → (n, perms) matrix + null mask
+            arr = col.combine_chunks()
+            valid = np.asarray(pc.is_valid(arr), dtype=bool)
+            blobs = arr.to_pylist()
+            joined_buf = b"".join(
+                (b if b is not None and len(b) == perms * 8 else zero_blob)
+                for b in blobs)
+            m = np.frombuffer(joined_buf, dtype=np.uint64).reshape(n, perms)
+            return m, valid
+
+        ma, va = to_mat(batch.column("sig_src"))
+        mb, vb = to_mat(batch.column("sig_dst"))
+        both = va & vb
+        est[both] = (ma[both] == mb[both]).mean(axis=1)
+        batch = batch.append_column("jaccard_est", pa.array(est))
+        return batch.filter(pa.array(est >= thr)).drop_columns(
+            ["sig_src", "sig_dst"])
+
+    return joined.map_batches(verify_joined, batch_format="pyarrow",
+                              batch_size=65536)

@@ -115,21 +115,46 @@ class MinHashSigner:
         )
 
 
-def sign_corpus(corpus_with_ids: rd.Dataset, cfg: PipelineConfig | None = None) -> rd.Dataset:
+_SIGNER_CACHE: dict = {}
+
+
+def _cached_signer(cfg: PipelineConfig) -> MinHashSigner:
+    key = (cfg.shingle_k, cfg.num_perms, cfg.minhash_seed)
+    s = _SIGNER_CACHE.get(key)
+    if s is None:
+        s = _SIGNER_CACHE.setdefault(key, MinHashSigner(cfg))
+    return s
+
+
+def sign_corpus(corpus_with_ids: rd.Dataset, cfg: PipelineConfig | None = None,
+                use_actor_pool: bool = False) -> rd.Dataset:
     """corpus (must carry ``file_id`` + ``content``) → signatures dataset.
 
-    Runs as an actor pool (``concurrency=cfg.signer_concurrency``) so the
-    perm state is amortized across batches; Arrow in/out, zero-copy.
+    Default mode is stateless TASKS with a per-worker-process signer cache:
+    the signer's state (the perm seed vector) is microseconds to build, so a
+    module-global cache gives the same once-per-worker amortization as an
+    actor pool while letting the scheduler use every core elastically — no
+    pool ramp-up, no pool-size tuning (measured equal-or-faster than the
+    best-tuned pool at every scale tried). ``use_actor_pool=True`` keeps the
+    explicit pool for deployments that want reserved resources for this
+    stage.
     """
     cfg = cfg or PipelineConfig()
+    if use_actor_pool:
+        return corpus_with_ids.map_batches(
+            MinHashSigner,
+            fn_constructor_kwargs={"cfg": cfg},
+            batch_format="pyarrow",
+            batch_size=cfg.signer_batch_size,
+            concurrency=cfg.signer_concurrency,
+            num_cpus=1,
+        )
+
+    def sign_fn(batch: pa.Table) -> pa.Table:
+        return _cached_signer(cfg)(batch)
+
     return corpus_with_ids.map_batches(
-        MinHashSigner,
-        fn_constructor_kwargs={"cfg": cfg},
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        concurrency=cfg.signer_concurrency,
-        num_cpus=1,
-    )
+        sign_fn, batch_format="pyarrow", batch_size=cfg.signer_batch_size)
 
 
 def band_hashes(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:

@@ -112,14 +112,14 @@ def connected_components(edges: rd.Dataset, *,
     resumes from the last complete round directory via ``_SUCCESS``
     markers).
     """
-    n_edges = edges.count()
-    if n_edges == 0:
+    # single-execution probe: take() short-circuits once past the limit
+    probe = edges.select_columns(["src", "dst"]).take(driver_limit + 1)
+    if not probe:
         return rd.from_arrow(pa.table(
             {"node": pa.array([], pa.string()), "label": pa.array([], pa.string())}))
 
-    if n_edges <= driver_limit:
-        rows = edges.select_columns(["src", "dst"]).take_all()
-        mapping = driver_union_find([(r["src"], r["dst"]) for r in rows])
+    if len(probe) <= driver_limit:
+        mapping = driver_union_find([(r["src"], r["dst"]) for r in probe])
         labels = rd.from_arrow(pa.table({
             "node": list(mapping.keys()), "label": list(mapping.values())}))
         return _drop_anchor_rows(labels)
