@@ -74,6 +74,8 @@ def main(argv: list[str] | None = None) -> int:
     results = dedup.full_dedup(corpus, cfg)
     for name in ["exact_members", "clusters", "rollup", "report"]:
         results[name].write_parquet(f"{args.out}/{name}")
+    # S5 parity: the reference's dupe_list.csv (deduplicate.py:690-719)
+    results["report"].write_csv(f"{args.out}/dupe_list_csv")
     from deduplicate_ray.stages.rollup import freed_bytes
     print(json.dumps({
         "exact_dup_rows": results["exact_members"].count(),

@@ -182,6 +182,29 @@ def q_dir_rollup_docs(sf_dir: str):
         ("uniq_count", pa.int64())]))
 
 
+def q_corpus_total_bytes(sf_dir: str):
+    """S3 parity: the pre-scan total-size denominator (the reference shells
+    out to ``du -sb``, dupe_analysis.py:247-319) as one Sum aggregate."""
+    docs = _t(sf_dir, "documents", ["text", "lang"])
+
+    def sz(batch: pa.Table) -> pa.Table:
+        sizes = [len((t or "").encode()) for t in batch.column("text").to_pylist()]
+        return pa.table({"lang": batch.column("lang"),
+                         "size": pa.array(sizes, pa.int64())})
+
+    return docs.map_batches(sz, batch_format="pyarrow") \
+        .groupby("lang").aggregate(Sum("size", alias_name="total_bytes"),
+                                   Count(alias_name="n_docs"))
+
+
+def q_zero_size_docs(sf_dir: str):
+    """A6 parity: the zero-size census (``WHERE size=0``,
+    dupe_analysis.py:636-642)."""
+    docs = _t(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = docs.filter(expr="n_chars == 0").select_columns(["doc_id"])
+    return _as_table(out, pa.schema([("doc_id", pa.int64())]))
+
+
 def q_keeper_report_docs(sf_dir: str):
     """Greedy keeper election + delete report over documents (rows-only —
     the greedy multi-pass policy is not SQL-expressible)."""
@@ -412,6 +435,8 @@ QUERIES = {
     "cascade_dup_groups_docs": q_cascade_dup_groups_docs,
     "dir_rollup_docs": q_dir_rollup_docs,
     "keeper_report_docs": q_keeper_report_docs,
+    "corpus_total_bytes": q_corpus_total_bytes,
+    "zero_size_docs": q_zero_size_docs,
     "token_counts_docs": q_token_counts_docs,
     "lang_stats_docs": q_lang_stats_docs,
     "lang_guess_docs": q_lang_guess_docs,
@@ -452,6 +477,14 @@ ORACLE_SQL = {
         FROM documents
         WHERE sha256(text) IN (
             SELECT sha256(text) FROM documents GROUP BY 1 HAVING COUNT(*) > 1)
+    """,
+    "corpus_total_bytes": """
+        SELECT lang, SUM(CAST(strlen(text) AS BIGINT)) AS total_bytes,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY lang
+    """,
+    "zero_size_docs": """
+        SELECT doc_id FROM documents WHERE n_chars = 0
     """,
     "dir_rollup_docs": """
         WITH h AS (SELECT source, md5(text) AS m,
