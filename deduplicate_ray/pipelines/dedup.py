@@ -56,10 +56,12 @@ def near_dup_clusters(corpus: rd.Dataset, cfg: PipelineConfig | None = None,
     cfg = cfg or PipelineConfig()
 
     hashed = exact.hash_corpus(corpus, cfg, keep_content=True)
-    # The narrow (file_id, sha256, ...) relation is pinned once; every
-    # driver-side lookup below reads it instead of re-hashing the corpus.
+    # The narrow (file_id, sha256) relation is pinned once; every driver-side
+    # lookup below reads it instead of re-hashing the corpus. Only the two
+    # columns the election/fold need are pinned — the slimmer the pin, the
+    # cheaper the object-store round trip.
     narrow = _pin(lambda: hashed.map_batches(
-        lambda t: t.drop_columns(["content"]), batch_format="pyarrow"),
+        lambda t: t.select(["file_id", "sha256"]), batch_format="pyarrow"),
         cfg, "hashes")
 
     # Driver fast path for the narrow METADATA relation (the analog of the

@@ -77,17 +77,33 @@ def oversized_buckets(bands: rd.Dataset, cfg: PipelineConfig) -> list[dict]:
     into ``4*num_partitions`` partitions (whole buckets stay together) and
     each partition counts its keys with one vectorized pandas
     ``value_counts`` — measured ~10x faster, still exact.
+
+    For large thresholds (>= 10k) the probe runs on a ~2% sample: a bucket
+    past the threshold is expected to contribute >= 200 sampled rows, so
+    detection is reliable while the counting shuffle shrinks 50x (the right
+    trade at 10^12-row scale, where exact-counting every band row just to
+    find the handful of hot keys is wasted IO). Small thresholds (tests,
+    fine-grained salting) stay exact. Estimated counts are scaled back up
+    before thresholding.
     """
     n_parts = cfg.num_partitions * 4
+    sample_frac = 0.02 if cfg.salt_threshold >= 10_000 else None
+    src = bands.select_columns(["band_id", "band_hash"])
+    if sample_frac:
+        src = src.random_sample(sample_frac, seed=cfg.minhash_seed)
+    thr = (cfg.salt_threshold * sample_frac) if sample_frac \
+        else cfg.salt_threshold
 
     def count_big(g: pd.DataFrame) -> pd.DataFrame:
         vc = g.groupby(["band_id", "band_hash"], sort=False).size()
-        vc = vc[vc > cfg.salt_threshold]
+        vc = vc[vc > thr]
         out = vc.reset_index()
         out.columns = ["band_id", "band_hash", "n"]
+        if sample_frac:
+            out["n"] = (out["n"] / sample_frac).astype(int)
         return out
 
-    parted = bands.select_columns(["band_id", "band_hash"]).map_batches(
+    parted = src.map_batches(
         lambda t: _partition_col(t, n_parts, with_salt=False),
         batch_format="pyarrow")
     return parted.groupby("_p").map_groups(count_big,
