@@ -64,16 +64,25 @@ def _as_table(ds: rd.Dataset, schema: pa.Schema) -> pa.Table:
 # ---------------------------------------------------------------- dedup (docs)
 
 def q_exact_dup_groups_docs(sf_dir: str):
-    """A1 collision grouping on the documents table (md5 for SQL parity)."""
+    """A1 collision grouping on the documents table, keyed on the 40-char
+    prefix hash — the M3 ``beg_hash`` cascade level (the full-text key finds
+    zero groups at sf0.01, which passes the oracle trivially; the prefix key
+    exercises real collision groups)."""
     docs = _t(sf_dir, "documents", ["text", "n_chars"])
-    hashed = docs.map_batches(_add_md5, batch_format="pyarrow")
-    out = hashed.select_columns(["text_md5", "n_chars"]) \
-        .groupby("text_md5").aggregate(
+
+    def add_beg(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.md5((t or "")[:40].encode()).hexdigest()
+              for t in batch.column("text").to_pylist()]
+        return batch.append_column("beg_md5", pa.array(hs, pa.string()))
+
+    hashed = docs.map_batches(add_beg, batch_format="pyarrow")
+    out = hashed.select_columns(["beg_md5", "n_chars"]) \
+        .groupby("beg_md5").aggregate(
             Count(alias_name="group_size"),
             Sum("n_chars", alias_name="total_chars")) \
         .filter(expr="group_size > 1")
     return _as_table(out, pa.schema([
-        ("text_md5", pa.string()), ("group_size", pa.int64()),
+        ("beg_md5", pa.string()), ("group_size", pa.int64()),
         ("total_chars", pa.int64())]))
 
 
@@ -88,15 +97,22 @@ def q_dedup_keep_first_docs(sf_dir: str):
 
 
 def q_dup_members_docs(sf_dir: str):
-    """J1 semi-join: rows belonging to an exact-dup group."""
+    """J1 semi-join: rows belonging to a prefix-hash collision group (same
+    beg_md5 key as ``exact_dup_groups_docs`` — non-empty at sf0.01)."""
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
-    hashed = docs.map_batches(_add_md5, batch_format="pyarrow") \
-                 .select_columns(["doc_id", "text_md5"])
-    dup_keys = hashed.groupby("text_md5").aggregate(
+
+    def add_beg(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.md5((t or "")[:40].encode()).hexdigest()
+              for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "beg_md5": pa.array(hs, pa.string())})
+
+    hashed = docs.map_batches(add_beg, batch_format="pyarrow")
+    dup_keys = hashed.groupby("beg_md5").aggregate(
         Count(alias_name="n")).filter(expr="n > 1")
-    out = joins.semi_join(hashed, dup_keys, "text_md5")
+    out = joins.semi_join(hashed, dup_keys, "beg_md5")
     return _as_table(out, pa.schema([
-        ("doc_id", pa.int64()), ("text_md5", pa.string())]))
+        ("doc_id", pa.int64()), ("beg_md5", pa.string())]))
 
 
 def q_minhash_clusters_docs(sf_dir: str):
@@ -137,11 +153,36 @@ def q_containment_docs(sf_dir: str):
         ("src", pa.string()), ("dst", pa.string())]))
 
 
+def _seeded_corpus(sf_dir: str) -> rd.Dataset:
+    """documents-as-corpus plus a deterministic duplicate of every 10th doc
+    (path ``doc{id+1000000}.txt``) — seeds real exact-dup families so the
+    dedup queries exercise non-empty groups at every sf (round-1 verdict:
+    0-row oracle passes are trivial)."""
+    base = documents_as_corpus(sf_dir)
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def dup_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        b = batch.filter(pa.array(ids % 10 == 0))
+        return pa.table({
+            "repo": b.column("source").cast(pa.string()),
+            "path": pa.array([f"doc{v + 1000000}.txt"
+                              for v in b.column("doc_id").to_pylist()]),
+            "commit": pa.array([""] * b.num_rows, pa.string()),
+            "lang": b.column("lang").cast(pa.string()),
+            "content": b.column("text").cast(pa.string()),
+        })
+
+    return base.union(docs.map_batches(dup_rows, batch_format="pyarrow"))
+
+
 def q_cascade_dup_groups_docs(sf_dir: str):
-    """Faithful cascade mode (size → beg → rev → full hash) over documents;
-    with complete_hash=True the final key equals sha256(text), which DuckDB
-    can reproduce — an end-to-end oracle for the cascade operator."""
-    corpus = documents_as_corpus(sf_dir)
+    """Faithful cascade mode (size → beg → rev → full hash) over the seeded
+    corpus (real dup families at every sf); with complete_hash=True the
+    final key equals sha256(text), which DuckDB can reproduce — an
+    end-to-end oracle for the cascade operator."""
+    corpus = _seeded_corpus(sf_dir)
     cfg = PipelineConfig(cascade=True, complete_hash=True)
     out = exact.cascade_members(corpus, cfg).select_columns(
         ["file_id", "exact_group_id"])
@@ -194,24 +235,29 @@ def q_corpus_total_bytes(sf_dir: str):
 
     return docs.map_batches(sz, batch_format="pyarrow") \
         .groupby("lang").aggregate(Sum("size", alias_name="total_bytes"),
-                                   Count(alias_name="n_docs"))
+                                   Count(alias_name="n_docs")) \
+        .sort("lang")
 
 
 def q_zero_size_docs(sf_dir: str):
-    """A6 parity: the zero-size census (``WHERE size=0``,
-    dupe_analysis.py:636-642)."""
+    """A6 parity: the zero/short-size census (``WHERE size=0``,
+    dupe_analysis.py:636-642, generalized to ``n_chars < 64`` — the testdata
+    has no truly empty docs, and a 0-row result passes the oracle
+    trivially; the short-doc census exercises the same filter operator on
+    real rows)."""
     docs = _t(sf_dir, "documents", ["doc_id", "n_chars"])
-    out = docs.filter(expr="n_chars == 0").select_columns(["doc_id"])
+    out = docs.filter(expr="n_chars < 64").select_columns(["doc_id"])
     return _as_table(out, pa.schema([("doc_id", pa.int64())]))
 
 
 def q_keeper_report_docs(sf_dir: str):
-    """Greedy keeper election + delete report over documents (rows-only —
-    the greedy multi-pass policy is not SQL-expressible)."""
-    corpus = documents_as_corpus(sf_dir)
+    """Reference-parity greedy keeper election + delete report over the
+    seeded corpus (non-empty dup families at every sf; rows-only — the
+    greedy multi-pass policy is not SQL-expressible)."""
+    corpus = _seeded_corpus(sf_dir)
     hashes = exact.hash_corpus(corpus)
     members = exact.exact_members(hashes)
-    report = rollup.dupe_report(rollup.elect_keepers(members))
+    report = rollup.dupe_report(rollup.elect_keepers(members, hashes))
     return _as_table(report, pa.schema([
         ("to_delete", pa.string()), ("keeper", pa.string()),
         ("keeper_dir", pa.string()), ("size", pa.int64())]))
@@ -232,12 +278,21 @@ def q_token_counts_docs(sf_dir: str):
 
 
 def q_lang_stats_docs(sf_dir: str):
+    """avg_chars is derived as one float division of the two exact int64
+    aggregates (not a distributed Mean): identical summation on both engines
+    → bit-identical doubles, no rounding-tie sensitivity (round-1 hash
+    mismatch was pc.round half-even vs DuckDB ROUND half-away)."""
     docs = _t(sf_dir, "documents", ["lang", "n_chars"])
     agg = docs.groupby("lang").aggregate(
         Count(alias_name="n_docs"),
-        Sum("n_chars", alias_name="total_chars"),
-        Mean("n_chars", alias_name="avg_chars"))
-    return _round_col(agg, "avg_chars", 4)
+        Sum("n_chars", alias_name="total_chars"))
+
+    def add_avg(t: pa.Table) -> pa.Table:
+        avg = pc.divide(pc.cast(t.column("total_chars"), pa.float64()),
+                        pc.cast(t.column("n_docs"), pa.float64()))
+        return t.append_column("avg_chars", avg)
+
+    return agg.map_batches(add_avg, batch_format="pyarrow").sort("lang")
 
 
 def q_lang_guess_docs(sf_dir: str):
@@ -341,28 +396,54 @@ def q_pricing_summary(sf_dir: str):
 
 def q_top_customers(sf_dir: str):
     """Pre-aggregated join + top-k: orders grouped per customer FIRST (the
-    partial-aggregate-before-shuffle rule), then a broadcast lookup of the
-    small customer side, then sort/limit."""
+    partial-aggregate-before-shuffle rule), then a bucketed join of the
+    customer side, then sort/limit. Revenue is summed in exact integer
+    CENTS (o_totalprice is a 2-decimal value) so the result is independent
+    of distributed summation order — a float Sum differs from the oracle's
+    in the last ulp, which rounding cannot always hide (round-1 hash
+    mismatch)."""
     orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    per_cust = orders.groupby("o_custkey").aggregate(
-        Sum("o_totalprice", alias_name="revenue"),
-        Count(alias_name="n_orders"))
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("o_totalprice"),
+                                             pa.scalar(100.0))), pa.int64())
+        return pa.table({"o_custkey": t.column("o_custkey"),
+                         "cents": cents})
+
+    per_cust = orders.map_batches(to_cents, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(
+            Sum("cents", alias_name="revenue_cents"),
+            Count(alias_name="n_orders"))
     cust = _t(sf_dir, "customer", ["c_custkey", "c_name"])
     renamed = per_cust.map_batches(
-        lambda t: t.rename_columns(["c_custkey", "revenue", "n_orders"]),
+        lambda t: t.rename_columns(["c_custkey", "revenue_cents", "n_orders"]),
         batch_format="pyarrow")
     joined = joins.bucket_join(renamed, cust, on="c_custkey", how="inner",
                                num_buckets=4)
-    top = _round_col(joined, "revenue", 2).sort(
+
+    def to_revenue(t: pa.Table) -> pa.Table:
+        rev = pc.divide(pc.cast(t.column("revenue_cents"), pa.float64()),
+                        pa.scalar(100.0))
+        return pa.table({"c_custkey": t.column("c_custkey"),
+                         "revenue": rev,
+                         "n_orders": t.column("n_orders"),
+                         "c_name": t.column("c_name")})
+
+    return joined.map_batches(to_revenue, batch_format="pyarrow").sort(
         ["revenue", "c_custkey"], descending=[True, False]).limit(10)
-    return top
 
 
 def q_customers_without_orders(sf_dir: str):
-    """Anti-join (D3 reviewed-set subtraction analog)."""
+    """Anti-join (D3 reviewed-set subtraction analog): customers with no
+    large order (> 300k) — the unfiltered variant returns 0 rows on the
+    testdata (every customer has orders), which passes the oracle
+    trivially; the filtered key side exercises the anti-join on real
+    misses."""
     cust = _t(sf_dir, "customer", ["c_custkey"])
-    orders = _t(sf_dir, "orders", ["o_custkey"]).map_batches(
-        lambda t: t.rename_columns(["c_custkey"]), batch_format="pyarrow")
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .filter(expr="o_totalprice > 300000") \
+        .map_batches(lambda t: t.select(["o_custkey"]).rename_columns(
+            ["c_custkey"]), batch_format="pyarrow")
     return _as_table(joins.anti_join(cust, orders, "c_custkey"),
                      pa.schema([("c_custkey", pa.int64())]))
 
@@ -455,11 +536,15 @@ QUERIES = {
     "media_frames": q_media_frames,
 }
 
+# NB: DuckDB SUM(BIGINT) returns HUGEINT, which pandas renders as float64
+# while the Ray side is int64 — invisible to a %.6g text compare but a
+# guaranteed value-hash mismatch (root cause of 4 of the 5 round-1
+# hash_match:false rows). Every integer SUM below is CAST back to BIGINT.
 ORACLE_SQL = {
     "exact_dup_groups_docs": """
-        SELECT md5(text) AS text_md5, COUNT(*) AS group_size,
-               SUM(n_chars) AS total_chars
-        FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+        SELECT md5(substr(text, 1, 40)) AS beg_md5, COUNT(*) AS group_size,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY 1 HAVING COUNT(*) > 1
     """,
     "dedup_keep_first_docs": """
         SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper_doc_id,
@@ -467,24 +552,31 @@ ORACLE_SQL = {
         FROM documents GROUP BY md5(text)
     """,
     "dup_members_docs": """
-        SELECT doc_id, md5(text) AS text_md5 FROM documents
-        WHERE md5(text) IN (
-            SELECT md5(text) FROM documents GROUP BY 1 HAVING COUNT(*) > 1)
+        SELECT doc_id, md5(substr(text, 1, 40)) AS beg_md5 FROM documents
+        WHERE md5(substr(text, 1, 40)) IN (
+            SELECT md5(substr(text, 1, 40)) FROM documents
+            GROUP BY 1 HAVING COUNT(*) > 1)
     """,
     "cascade_dup_groups_docs": """
+        WITH seeded AS (
+            SELECT doc_id, text, source FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text, source FROM documents
+            WHERE doc_id % 10 = 0)
         SELECT source || '::doc' || CAST(doc_id AS VARCHAR) || '.txt' AS file_id,
                sha256(text) AS exact_group_id
-        FROM documents
+        FROM seeded
         WHERE sha256(text) IN (
-            SELECT sha256(text) FROM documents GROUP BY 1 HAVING COUNT(*) > 1)
+            SELECT sha256(text) FROM seeded GROUP BY 1 HAVING COUNT(*) > 1)
     """,
     "corpus_total_bytes": """
-        SELECT lang, SUM(CAST(strlen(text) AS BIGINT)) AS total_bytes,
+        SELECT lang, CAST(SUM(CAST(strlen(text) AS BIGINT)) AS BIGINT)
+                   AS total_bytes,
                COUNT(*) AS n_docs
         FROM documents GROUP BY lang
     """,
     "zero_size_docs": """
-        SELECT doc_id FROM documents WHERE n_chars = 0
+        SELECT doc_id FROM documents WHERE n_chars < 64
     """,
     "dir_rollup_docs": """
         WITH h AS (SELECT source, md5(text) AS m,
@@ -492,10 +584,11 @@ ORACLE_SQL = {
                    FROM documents),
         d AS (SELECT m FROM h GROUP BY m HAVING COUNT(*) > 1)
         SELECT source AS dir, COUNT(*) AS total_count,
-               SUM(CASE WHEN m IN (SELECT m FROM d) THEN 1 ELSE 0 END) AS dupe_count,
-               SUM(sz) AS bytes,
-               COUNT(*) - SUM(CASE WHEN m IN (SELECT m FROM d) THEN 1 ELSE 0 END)
-                   AS uniq_count
+               CAST(SUM(CASE WHEN m IN (SELECT m FROM d) THEN 1 ELSE 0 END)
+                   AS BIGINT) AS dupe_count,
+               CAST(SUM(sz) AS BIGINT) AS bytes,
+               CAST(COUNT(*) - SUM(CASE WHEN m IN (SELECT m FROM d)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS uniq_count
         FROM h GROUP BY source
     """,
     "token_counts_docs": """
@@ -505,8 +598,9 @@ ORACLE_SQL = {
         FROM documents
     """,
     "lang_stats_docs": """
-        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
-               ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
         FROM documents GROUP BY lang
     """,
     "knn_cosine": """
@@ -535,9 +629,12 @@ ORACLE_SQL = {
         GROUP BY l_returnflag, l_linestatus
     """,
     "top_customers": """
-        SELECT g.c_custkey AS c_custkey, ROUND(g.revenue, 2) AS revenue,
+        SELECT g.c_custkey AS c_custkey,
+               CAST(g.revenue_cents AS DOUBLE) / 100.0 AS revenue,
                g.n_orders AS n_orders, c.c_name AS c_name
-        FROM (SELECT o_custkey AS c_custkey, SUM(o_totalprice) AS revenue,
+        FROM (SELECT o_custkey AS c_custkey,
+                     CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+                         AS BIGINT) AS revenue_cents,
                      COUNT(*) AS n_orders
               FROM orders GROUP BY o_custkey) g
         JOIN customer c ON g.c_custkey = c.c_custkey
@@ -545,7 +642,8 @@ ORACLE_SQL = {
     """,
     "customers_without_orders": """
         SELECT c_custkey FROM customer
-        WHERE c_custkey NOT IN (SELECT DISTINCT o_custkey FROM orders)
+        WHERE c_custkey NOT IN (
+            SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000)
     """,
     "orders_per_status": """
         SELECT o_orderstatus, COUNT(*) AS n_orders,
@@ -572,8 +670,9 @@ ORACLE_SQL = {
           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         ), s AS (
           SELECT user_id, ts,
-                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                                  ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+                 CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+                     AS session_id
           FROM d
         )
         SELECT user_id, session_id, MIN(ts) AS session_start,

@@ -3,16 +3,22 @@
 Physical strategies:
 
 * **broadcast semi/anti join** — the key set is ``ray.put`` once and probed
-  with a set lookup inside ``map_batches`` (no shuffle; the reference's
-  dict-probe ``full_path in dupe_files``, ``deduplicate.py:133-148``,
-  distributed). Used whenever the key side fits
-  (``broadcast_limit`` keys).
+  with the vectorized ``pc.is_in`` kernel inside ``map_batches`` (no
+  shuffle; the reference's dict-probe ``full_path in dupe_files``,
+  ``deduplicate.py:133-148``, distributed). Used whenever the key side fits
+  (``broadcast_limit`` keys). The Arrow value-set is built once per worker
+  process and cached (keyed by the broadcast ref), so per-batch cost is one
+  C++ hash-probe pass — no per-row Python.
 * **bucketed hash join** (:func:`bucket_join`) — the portable partitioned
   hash join: add ``_bucket = hash(key) % B`` to both sides, sort-shuffle on
-  the bucket, and run a vectorized ``pandas.merge`` per bucket inside
-  ``map_groups``. B = ``num_partitions``; each group is a whole bucket, so
-  the per-group Python overhead is O(B), not O(keys), and the merge itself
-  is C-speed.
+  the bucket, and run Arrow's C++ hash join (``pa.Table.join``) per bucket
+  inside ``map_groups``. B = ``num_buckets``; each group is a whole bucket,
+  so the per-group Python overhead is O(B), not O(keys). Every tagged block
+  and every merged block is cast to ONE explicit ``pyarrow.Schema``, so the
+  union never mixes block schemas (the round-1 "different schema RefBundle"
+  / "Failed to hash the schemas" warnings came from pandas-merge outputs
+  whose dtypes drifted per bucket — e.g. int64 → float64 when a left-join
+  bucket had misses).
 
 ``Dataset.join`` (Ray 2.49) is deliberately NOT used: sort-based aggregates
 in this version emit zero-column empty blocks which the hash-shuffle join's
@@ -22,8 +28,6 @@ The bucketed join sidesteps the block-layout issue entirely.
 """
 
 from __future__ import annotations
-
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -35,17 +39,53 @@ from ray.data.aggregate import Count
 
 DEFAULT_BROADCAST_LIMIT = 2_000_000
 
+# 16-byte key for pandas' siphash — fixed so bucket assignment is stable
+# across processes and Ray task retries (PYTHONHASHSEED-independent).
+_HASH_KEY = "dedup_ray_join_0"
+
+
+def stable_hash(values: np.ndarray | pd.Series) -> np.ndarray:
+    """Deterministic vectorized uint64 hash of an int/string array
+    (pandas siphash with a pinned key; C-speed, process-stable)."""
+    if isinstance(values, pd.Series):
+        values = values.to_numpy()
+    return pd.util.hash_array(values, hash_key=_HASH_KEY, categorize=False)
+
 
 # --------------------------------------------------------------------------
 # broadcast semi / anti joins
 # --------------------------------------------------------------------------
 
+# per-worker-process cache of materialized Arrow value-sets, keyed by the
+# broadcast ObjectRef hex (bounded: several concurrent broadcast joins may
+# share a worker)
+_PROBE_CACHE: dict = {}
+_PROBE_CACHE_MAX = 8
+
+
+def _cached_value_set(ref) -> pa.Array:
+    key = ref.hex()
+    vs = _PROBE_CACHE.get(key)
+    if vs is None:
+        if len(_PROBE_CACHE) >= _PROBE_CACHE_MAX:
+            _PROBE_CACHE.clear()
+        vs = _PROBE_CACHE.setdefault(key, pa.array(ray.get(ref)))
+    return vs
+
+
 def _broadcast_filter(ds: rd.Dataset, keys: list, col: str, keep: bool) -> rd.Dataset:
-    ref = ray.put(set(keys))
+    if not keys:
+        # empty key set: semi-join keeps nothing, anti-join keeps everything
+        # (and pa.array([]) would be null-typed, breaking is_in)
+        if keep:
+            return ds.map_batches(lambda t: t.slice(0, 0),
+                                  batch_format="pyarrow")
+        return ds
+    ref = ray.put(list(keys))
 
     def probe(batch: pa.Table) -> pa.Table:
-        keyset = ray.get(ref)
-        mask = pa.array([v in keyset for v in batch.column(col).to_pylist()])
+        vs = _cached_value_set(ref)
+        mask = pc.fill_null(pc.is_in(batch.column(col), value_set=vs), False)
         return batch.filter(mask if keep else pc.invert(mask))
 
     return ds.map_batches(probe, batch_format="pyarrow")
@@ -102,10 +142,13 @@ def anti_join(ds: rd.Dataset, keys_ds: rd.Dataset, col: str,
 # bucketed hash join
 # --------------------------------------------------------------------------
 
-def _bucket_of(values: list, num_buckets: int) -> np.ndarray:
-    return np.array(
-        [zlib.crc32(str(v).encode()) % num_buckets for v in values],
-        dtype=np.int32)
+def _bucket_of(col: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa.Array:
+    """Vectorized stable bucket assignment for a key column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = col.to_numpy(zero_copy_only=False)
+    h = stable_hash(vals)
+    return pa.array((h % np.uint64(num_buckets)).astype(np.int32))
 
 
 def _to_arrow_type(t) -> pa.DataType:
@@ -129,8 +172,9 @@ def bucket_join(left: rd.Dataset, right: rd.Dataset, on: str,
 
     ``how``: 'inner' or 'left'. Non-key column names must be disjoint
     (rename upstream). Result column order: left columns then right value
-    columns. The shuffle key is ``hash(key) % num_buckets`` — size
-    ``num_buckets`` to the cluster; salt upstream if one key dominates.
+    columns; result schema is pinned (identical for every output block).
+    The shuffle key is ``hash(key) % num_buckets`` — size ``num_buckets``
+    to the cluster; salt upstream if one key dominates.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how}")
@@ -145,37 +189,51 @@ def bucket_join(left: rd.Dataset, right: rd.Dataset, on: str,
               for n, t in zip(right_schema.names, right_schema.types)}
     ltypes = {n: _to_arrow_type(t)
               for n, t in zip(left_schema.names, left_schema.types)}
+    # the key column must hash identically on both sides → one pinned type
+    key_type = ltypes[on]
+    rtypes[on] = key_type
     all_cols = lcols + rcols
+
+    # ONE schema for every tagged block (both sides) and one for the output:
+    # byte-identical schemas are what keep the union/map_groups pipeline free
+    # of mixed-schema RefBundles.
+    tagged_schema = pa.schema(
+        [(c, ltypes.get(c, rtypes.get(c))) for c in all_cols]
+        + [("_side", pa.int8()), ("_bucket", pa.int32())])
+    out_schema = pa.schema([(c, ltypes.get(c, rtypes.get(c))) for c in all_cols])
 
     def tag_left(t: pa.Table) -> pa.Table:
         n = t.num_rows
-        arrays = [t.column(c) for c in lcols] + [
+        arrays = [t.column(c).cast(ltypes[c]) for c in lcols] + [
             pa.nulls(n, rtypes[c]) for c in rcols]
-        out = pa.Table.from_arrays(arrays, names=all_cols)
-        out = out.append_column("_side", pa.array(np.zeros(n, dtype=np.int8)))
-        return out.append_column(
-            "_bucket", pa.array(_bucket_of(t.column(on).to_pylist(), num_buckets)))
+        arrays.append(pa.array(np.zeros(n, dtype=np.int8)))
+        arrays.append(_bucket_of(t.column(on).cast(key_type), num_buckets))
+        return pa.Table.from_arrays(arrays, schema=tagged_schema)
 
     def tag_right(t: pa.Table) -> pa.Table:
         n = t.num_rows
         arrays = []
         for c in all_cols:
             if c == on or c in rcols:
-                arrays.append(t.column(c).cast(rtypes[c] if c in rtypes else ltypes[c]))
+                arrays.append(t.column(c).cast(rtypes[c]))
             else:
                 arrays.append(pa.nulls(n, ltypes[c]))
-        out = pa.Table.from_arrays(arrays, names=all_cols)
-        out = out.append_column("_side", pa.array(np.ones(n, dtype=np.int8)))
-        return out.append_column(
-            "_bucket", pa.array(_bucket_of(t.column(on).to_pylist(), num_buckets)))
+        arrays.append(pa.array(np.ones(n, dtype=np.int8)))
+        arrays.append(_bucket_of(t.column(on).cast(key_type), num_buckets))
+        return pa.Table.from_arrays(arrays, schema=tagged_schema)
 
     u = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.map_batches(tag_right, batch_format="pyarrow"))
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        lpart = g[g["_side"] == 0][lcols]
-        rpart = g[g["_side"] == 1][[on] + rcols]
-        out = lpart.merge(rpart, on=on, how=how)
-        return out[all_cols]
+    join_type = "inner" if how == "inner" else "left outer"
 
-    return u.groupby("_bucket").map_groups(merge, batch_format="pandas")
+    def merge(g: pa.Table) -> pa.Table:
+        # Arrow's C++ hash join per bucket: type-preserving (left-join nulls
+        # stay typed), no pandas round trip.
+        lmask = pc.equal(g.column("_side"), 0)
+        lpart = g.filter(lmask).select(lcols)
+        rpart = g.filter(pc.invert(lmask)).select([on] + rcols)
+        out = lpart.join(rpart, keys=on, join_type=join_type)
+        return out.select(all_cols).cast(out_schema)
+
+    return u.groupby("_bucket").map_groups(merge, batch_format="pyarrow")

@@ -1,0 +1,535 @@
+"""Reference-parity greedy keeper election (O2/O3/A4 + cleanup).
+
+Faithful re-implementation of the reference's phase-2 keep/delete
+recommender over corpus rows:
+
+* the 5-key candidate ordering ``(kept_total DESC, extra_total DESC,
+  count_total DESC, first_keepable ASC, path ASC)`` of ``calc_max``
+  (``/root/reference/deduplicate.py:269-323``, the ``reversor`` wrapper);
+* the largest-duplicate-peer-directory switch ``check_largest``
+  (``deduplicate.py:325-344``);
+* keeper recursion into ``dupe_children`` when a directory yields nothing
+  (``DupeDir.keep``, ``deduplicate.py:377-417``);
+* counter bubbling: ``increment_dupes`` / ``decrement_dupes`` up the parent
+  chain with empty-dir ``check_delete`` on the way
+  (``deduplicate.py:346-375``);
+* the multi-pass loop with re-seeding from remaining dupes' parents
+  (``deduplicate.py:593-631``);
+* the cleanup pass collapsing per-file deletes into one directory delete
+  when a directory became empty (``deduplicate.py:640-676``).
+
+Scale shape: the corpus-sized work happens distributedly — duplicate
+membership is a Stage-1 semi-join, per-directory unique-file counts and the
+immediate directory-edge relation are one ancestor-explode + ``groupby``
+each (outputs are O(#dirs), not O(#files)). The driver graph holds only the
+duplicate population plus the directory tables — the same boundedness as
+the reference's in-memory phase-2 graph (``deduplicate.py:478-537``), with
+the corpus-size dependence removed.
+
+Deliberate determinism deviations (the reference iterates Python ``set``s,
+whose order is id/hash dependent run-to-run):
+
+* where the reference takes ``next(iter(keepable_dirs))`` it gets an
+  arbitrary set element; we take the lexicographically smallest path;
+* ``check_largest`` scans ``dd_dupes`` in set order with a strict ``>``;
+  we take the max of ``(count+extra)`` with smallest-path tie-break.
+
+Both choices fall inside the reference's own nondeterminism envelope: its
+end-to-end tests validate the surviving *content* set, tolerating which
+copy survived (``test_deduplicate.py:111-196``) — the same oracle our
+survivor-set tests use.
+"""
+
+from __future__ import annotations
+
+import posixpath
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count
+
+from deduplicate_ray.stages import joins
+
+
+# --------------------------------------------------------------------------
+# distributed pre-reduction
+# --------------------------------------------------------------------------
+
+def _dir_of(repo: str, path: str) -> str:
+    d = posixpath.dirname(path)
+    return repo + "/" + d if d else repo
+
+
+def dir_stats(all_hashes: rd.Dataset, dup_ids: rd.Dataset,
+              num_partitions: int = 16) -> tuple[dict, set]:
+    """Reduce the full corpus to the two small per-directory relations the
+    election needs: ``{dir: direct_unique_file_count}`` and the distinct
+    immediate ``(parent_dir, child_dir)`` edge set. Corpus-sized work is
+    one anti-join + one ancestor explode + groupbys; the returned tables
+    are O(#dirs)."""
+    uniq = joins.anti_join(
+        all_hashes.select_columns(["file_id", "repo", "path"]),
+        dup_ids.select_columns(["file_id"]), "file_id",
+        num_partitions=num_partitions)
+
+    def to_dir(t: pa.Table) -> pa.Table:
+        dirs = [_dir_of(r, p) for r, p in zip(t.column("repo").to_pylist(),
+                                              t.column("path").to_pylist())]
+        return pa.table({"dir": pa.array(dirs, pa.string())})
+
+    uniq_counts = {
+        r["dir"]: r["n"]
+        for r in uniq.map_batches(to_dir, batch_format="pyarrow")
+        .groupby("dir").aggregate(Count(alias_name="n")).take_all()}
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        parents, children = [], []
+        for repo, path in zip(t.column("repo").to_pylist(),
+                              t.column("path").to_pylist()):
+            d = posixpath.dirname(path)
+            parts = d.split("/") if d else []
+            prev = repo
+            for i in range(1, len(parts) + 1):
+                cur = repo + "/" + "/".join(parts[:i])
+                parents.append(prev)
+                children.append(cur)
+                prev = cur
+        return pa.table({"parent": pa.array(parents, pa.string()),
+                         "child": pa.array(children, pa.string())})
+
+    edge_rows = all_hashes.select_columns(["repo", "path"]) \
+        .map_batches(to_edges, batch_format="pyarrow") \
+        .groupby(["parent", "child"]).aggregate(Count(alias_name="_n")) \
+        .take_all()
+    edges = {(r["parent"], r["child"]) for r in edge_rows}
+    return uniq_counts, edges
+
+
+# --------------------------------------------------------------------------
+# driver-side object graph (the reference's DupeFile / DupeDir)
+# --------------------------------------------------------------------------
+
+class _File:
+    """``DupeFile`` analog (``deduplicate.py:12-56``)."""
+    __slots__ = ("file_id", "path", "parent", "size", "group",
+                 "is_deleted", "is_kept", "deleted_by", "duplicates",
+                 "dupe_dirs")
+
+    def __init__(self, file_id: str, path: str, parent: str, size: int,
+                 group: str):
+        self.file_id = file_id
+        self.path = path
+        self.parent = parent
+        self.size = size
+        self.group = group
+        self.is_deleted = False
+        self.is_kept = False
+        self.deleted_by = None
+        self.duplicates: list = []
+        self.dupe_dirs: set = set()
+
+    def delete(self, keeper) -> bool:
+        if not self.is_deleted and not self.is_kept:
+            self.is_deleted = True
+            self.deleted_by = keeper
+            return True
+        return False
+
+
+class _Dir:
+    """``DupeDir`` analog (``deduplicate.py:58-230``)."""
+    __slots__ = ("path", "parent", "depth", "file_dupes", "extra",
+                 "uniq_subdirs", "subdir_dupes", "dupe_children",
+                 "count", "count_total", "extra_total", "kept",
+                 "kept_total", "size", "is_deleted", "is_kept", "dd_dupes")
+
+    def __init__(self, path: str):
+        self.path = path
+        self.parent = posixpath.dirname(path) or None
+        self.depth = path.count("/") + 1
+        self.file_dupes: list[_File] = []
+        self.extra = 0
+        self.uniq_subdirs = 0
+        self.subdir_dupes: list["_Dir"] = []
+        self.dupe_children: list["_Dir"] = []
+        self.count = 0
+        self.count_total = 0
+        self.extra_total = 0
+        self.kept = 0
+        self.kept_total = 0
+        self.size = 0
+        self.is_deleted = False
+        self.is_kept = False
+        self.dd_dupes: set[str] = set()
+
+    # emptiness predicates (deduplicate.py:94-131)
+    def has_no_extras(self) -> bool:
+        return self.extra == 0 and self.uniq_subdirs == 0
+
+    def has_no_dupedirs(self) -> bool:
+        return all(sd.is_deleted for sd in self.subdir_dupes)
+
+    def has_no_dupefiles(self) -> bool:
+        return all(fd.is_deleted for fd in self.file_dupes)
+
+    def has_no_unkept_dupefiles(self) -> bool:
+        return all(fd.is_deleted or fd.is_kept for fd in self.file_dupes)
+
+    def is_empty(self) -> bool:
+        return (self.has_no_extras() and self.has_no_dupedirs()
+                and self.has_no_dupefiles())
+
+    def check_delete(self) -> bool:
+        if not self.is_deleted and self.is_empty():
+            self.is_deleted = True
+        return self.is_deleted
+
+    # keepability (deduplicate.py:202-238)
+    def _recurse_keepable(self) -> bool:
+        return (self.has_no_unkept_dupefiles()
+                or (not self.has_no_dupedirs() and self.has_no_dupefiles()))
+
+    def get_first_keepable(self) -> int:
+        if self.count_total < 1 or self.is_deleted:
+            return 0
+        if self._recurse_keepable():
+            for sd in sorted(self.subdir_dupes, key=lambda d: d.path):
+                found = sd.get_first_keepable()
+                if found > 0:
+                    return found
+        else:
+            return len(self.path)
+        return 0
+
+    def get_keepable_dirs(self) -> list["_Dir"]:
+        if self.count_total < 1 or self.is_deleted:
+            return []
+        if self._recurse_keepable():
+            out: list[_Dir] = []
+            for sd in self.subdir_dupes:
+                out.extend(sd.get_keepable_dirs())
+            return out
+        return [self]
+
+    # counter bubbling (deduplicate.py:346-375)
+    def decrement_dupes(self, dwd: dict) -> None:
+        if self.is_deleted:
+            return
+        self.count -= 1
+        self.count_total -= 1
+        self.check_delete()
+        parent = self.parent
+        while parent is not None:
+            if parent in dwd:
+                dwd[parent].decrement_dupes(dwd)
+                break
+            parent = posixpath.dirname(parent) or None
+
+    def increment_dupes(self, dwd: dict) -> None:
+        self.kept += 1
+        self.kept_total += 1
+        if self.parent is not None and self.parent in dwd:
+            dwd[self.parent].increment_dupes(dwd)
+
+
+class _reversor:
+    """Descending wrapper for mixed-direction sort keys — the reference's
+    ``reversor`` (deduplicate.py:287-295)."""
+    __slots__ = ("obj",)
+
+    def __init__(self, obj):
+        self.obj = obj
+
+    def __eq__(self, other):
+        return other.obj == self.obj
+
+    def __lt__(self, other):
+        return other.obj < self.obj
+
+
+def _calc_max(candidates, dwd: dict):
+    """``DupeDir.calc_max`` (deduplicate.py:269-323): filter to keepable,
+    sort by the 5-key order, pick the first keepable dir, then apply the
+    ``check_largest`` peer switch."""
+    filtered = [d for d in candidates
+                if not d.is_deleted and d.get_first_keepable() > 0]
+    if not filtered:
+        return None
+    ordered = sorted(filtered, key=lambda d: (
+        _reversor(d.kept_total), _reversor(d.extra_total),
+        _reversor(d.count_total), d.get_first_keepable(), d.path))
+    keepable = None
+    for d in ordered:
+        dirs = d.get_keepable_dirs()
+        if dirs:
+            keepable = min(dirs, key=lambda x: x.path)
+            break
+    if keepable is None:
+        return None
+    return _check_largest(keepable, dwd)
+
+
+def _check_largest(d: _Dir, dwd: dict) -> _Dir:
+    """``check_largest`` (deduplicate.py:325-344): switch to the duplicate-
+    peer directory holding the most (dupes + extras)."""
+    largest = d
+    for ddp in sorted(d.dd_dupes):
+        peer = dwd.get(ddp)
+        if peer is None or peer is largest:
+            continue
+        if not peer.is_empty() and not peer.is_kept:
+            if peer.count + peer.extra > largest.count + largest.extra:
+                largest = peer
+    return largest
+
+
+def _keep(d: _Dir, accum: dict, delete_lookup: dict, dwd: dict):
+    """``DupeDir.keep`` (deduplicate.py:377-417): keep this dir's pending
+    dup files, cascade deletes to their duplicates, bubble counters; if
+    nothing was kept here, recurse into the best dupe_child."""
+    keeps: list[_File] = []
+    deletes: list[_File] = []
+    size = 0
+    if not d.is_kept:
+        for fd in d.file_dupes:
+            if fd.is_deleted:
+                continue
+            fd.is_kept = True
+            keeps.append(fd)
+            if fd.parent in dwd:
+                dwd[fd.parent].increment_dupes(dwd)
+            for dupe in fd.duplicates:
+                if dupe.delete(fd):
+                    deletes.append(dupe)
+                    delete_lookup[dupe.path] = d.path
+                    if dupe.parent in dwd:
+                        dwd[dupe.parent].decrement_dupes(dwd)
+                    size += dupe.size
+    d.is_kept = True
+    if keeps:
+        accum[d.path] = (keeps, deletes, size)
+        return keeps, deletes
+    child = _calc_max(d.dupe_children, dwd)
+    if child is not None:
+        return _keep(child, accum, delete_lookup, dwd)
+    return [], []
+
+
+# --------------------------------------------------------------------------
+# graph build + election driver
+# --------------------------------------------------------------------------
+
+def build_graph(member_rows: list[dict], uniq_counts: dict | None = None,
+                dir_edges: set | None = None):
+    """member_rows: dicts with file_id, repo, path, size, exact_group_id.
+    Returns (files, dwd) — the object graph after the reference's
+    create-objects + fill_parents + load_fs phases
+    (deduplicate.py:478-573)."""
+    uniq_counts = uniq_counts or {}
+    dir_edges = dir_edges or set()
+
+    files: dict[str, _File] = {}
+    groups: dict[str, list[_File]] = {}
+    for r in member_rows:
+        full_path = r["repo"] + "/" + r["path"]
+        f = _File(r["file_id"], full_path,
+                  posixpath.dirname(full_path), int(r["size"]),
+                  r["exact_group_id"])
+        files[f.file_id] = f
+        groups.setdefault(f.group, []).append(f)
+
+    # mutual-dupe wiring (set_dupes, deduplicate.py:27-31)
+    for members in groups.values():
+        members.sort(key=lambda f: f.path)
+        for f in members:
+            f.duplicates = [o for o in members if o is not f]
+            f.dupe_dirs = {o.parent for o in f.duplicates}
+
+    # dirs_w_dupes: roots (repos) + dup-file parents + all ancestors
+    # (fill_parents, deduplicate.py:180-200)
+    dwd: dict[str, _Dir] = {}
+
+    def ensure_dir(path: str) -> _Dir:
+        d = dwd.get(path)
+        if d is None:
+            d = dwd.setdefault(path, _Dir(path))
+        return d
+
+    for f in files.values():
+        ensure_dir(f.parent)
+    for r in {row["repo"] for row in member_rows}:
+        ensure_dir(r)
+    for path in list(dwd):
+        cur = dwd[path]
+        while cur.parent is not None:
+            parent = ensure_dir(cur.parent)
+            if cur not in parent.dupe_children:
+                parent.dupe_children.append(cur)
+            cur = parent
+
+    # load_fs (deduplicate.py:133-178), deepest-first
+    for f in files.values():
+        d = dwd[f.parent]
+        d.file_dupes.append(f)
+        d.dd_dupes.update(f.dupe_dirs)
+    children_by_parent: dict[str, set] = {}
+    for p, c in dir_edges:
+        children_by_parent.setdefault(p, set()).add(c)
+    for d in dwd.values():
+        d.file_dupes.sort(key=lambda f: f.path)
+        d.extra = int(uniq_counts.get(d.path, 0))
+        d.subdir_dupes = sorted(d.dupe_children, key=lambda x: x.path)
+        dup_children_paths = {c.path for c in d.dupe_children}
+        d.uniq_subdirs = sum(1 for c in children_by_parent.get(d.path, ())
+                             if c not in dup_children_paths)
+    for d in sorted(dwd.values(), key=lambda x: -x.depth):
+        d.count = len(d.file_dupes)
+        d.count_total = d.count + sum(sd.count_total for sd in d.subdir_dupes)
+        d.size = sum(f.size for f in d.file_dupes) + \
+            sum(sd.size for sd in d.subdir_dupes)
+        d.extra_total = d.extra + d.uniq_subdirs
+
+    return files, dwd
+
+
+def run_election(files: dict, dwd: dict):
+    """The multi-pass greedy loop (deduplicate.py:576-631) + cleanup
+    collapse (deduplicate.py:640-676). Returns (final_output,
+    delete_lookup, collapsed) where collapsed maps a deleted dir path to
+    the delete rows it replaces."""
+    min_depth = min((d.depth for d in dwd.values()), default=0)
+    start_list = sorted((d for d in dwd.values() if d.depth == min_depth),
+                        key=lambda d: d.path)
+    final_output: dict = {}
+    delete_lookup: dict = {}
+
+    all_dupes = set(files.values())
+    reviewed: set = set()
+
+    d = _calc_max(start_list, dwd)
+    if d is not None:
+        keeps, dels = _keep(d, final_output, delete_lookup, dwd)
+        reviewed.update(keeps)
+        reviewed.update(dels)
+    remaining = all_dupes - reviewed
+
+    while remaining:
+        d = _calc_max(start_list, dwd)
+        if d is None:
+            # re-seed from remaining dupes' parents, shallowest-first
+            # (deduplicate.py:606-620)
+            by_depth: dict[int, list[_Dir]] = {}
+            for f in remaining:
+                pd = dwd.get(f.parent)
+                if pd is not None:
+                    by_depth.setdefault(pd.depth, []).append(pd)
+            for depth in sorted(by_depth):
+                d = _calc_max(sorted(by_depth[depth], key=lambda x: x.path),
+                              dwd)
+                if d is not None:
+                    break
+        if d is None:
+            break
+        keeps, dels = _keep(d, final_output, delete_lookup, dwd)
+        if not keeps and not dels:
+            break
+        reviewed.update(keeps)
+        reviewed.update(dels)
+        remaining = all_dupes - reviewed
+
+    # cleanup: collapse per-file deletes into a dir delete when the dir
+    # became empty (deduplicate.py:640-676)
+    collapsed: dict[str, list] = {}
+    for dd in sorted(dwd.values(), key=lambda x: -x.depth):
+        if not dd.check_delete():
+            continue
+        replaced = []
+        first_time = True
+        for f in dd.file_dupes:
+            kept_dir = delete_lookup.get(f.path)
+            entry = final_output.get(kept_dir) if kept_dir else None
+            if entry and f in entry[1]:
+                entry[1].remove(f)
+                replaced.append(f)
+                # substitute the dir ONCE, into the entry the first
+                # replaced delete came from (first_time guard,
+                # deduplicate.py:650-662)
+                if first_time:
+                    entry[1].append(dd)
+                    first_time = False
+        for sd in dd.subdir_dupes:
+            for kept_dir, (_keeps, deletes, _s) in final_output.items():
+                if sd in deletes:
+                    deletes.remove(sd)
+                    replaced.append(sd)
+                    if first_time:
+                        deletes.append(dd)
+                        first_time = False
+        if replaced:
+            collapsed[dd.path] = replaced
+    return final_output, delete_lookup, collapsed
+
+
+# --------------------------------------------------------------------------
+# public API
+# --------------------------------------------------------------------------
+
+def elect(members: rd.Dataset, all_hashes: rd.Dataset | None = None,
+          num_partitions: int = 16):
+    """Full election over exact-dup membership rows. Returns
+    (files, dwd, final_output, delete_lookup, collapsed)."""
+    rows = members.select_columns(
+        ["file_id", "exact_group_id", "repo", "path", "size"]).take_all()
+    uniq_counts: dict = {}
+    edges: set = set()
+    if all_hashes is not None:
+        uniq_counts, edges = dir_stats(
+            all_hashes, members, num_partitions=num_partitions)
+    files, dwd = build_graph(rows, uniq_counts, edges)
+    final_output, delete_lookup, collapsed = run_election(files, dwd)
+    return files, dwd, final_output, delete_lookup, collapsed
+
+
+def decisions_table(files: dict, delete_lookup: dict) -> pa.Table:
+    """Per-duplicate-file decision rows: (file_id, exact_group_id, dir,
+    size, is_kept, keeper, keeper_dir). Survivors (kept or unreviewed) are
+    their own keeper — the reference leaves unreviewed dupes on disk."""
+    out = sorted(files.values(), key=lambda f: f.file_id)
+    return pa.table({
+        "file_id": pa.array([f.file_id for f in out], pa.string()),
+        "exact_group_id": pa.array([f.group for f in out], pa.string()),
+        "dir": pa.array([f.parent for f in out], pa.string()),
+        "size": pa.array([f.size for f in out], pa.int64()),
+        "is_kept": pa.array([not f.is_deleted for f in out], pa.bool_()),
+        "keeper": pa.array(
+            [(f.deleted_by.file_id if f.deleted_by else f.file_id)
+             for f in out], pa.string()),
+        "keeper_dir": pa.array(
+            [delete_lookup.get(f.path, f.parent) for f in out], pa.string()),
+    })
+
+
+def report_table(final_output: dict) -> pa.Table:
+    """The reference's ``dupe_list.csv`` rows with dir-collapse applied
+    (S5, deduplicate.py:690-719): one row per recommended delete —
+    a file OR a collapsed directory — sorted by keep_dir then path."""
+    to_delete, keep_dir, keeper, sizes, is_dir = [], [], [], [], []
+    for dpath in sorted(final_output):
+        keeps, deletes, _size = final_output[dpath]
+        for d in sorted(deletes, key=lambda x: x.path):
+            to_delete.append(d.path)
+            keep_dir.append(dpath)
+            if isinstance(d, _File) and d.deleted_by is not None:
+                keeper.append(d.deleted_by.path)
+            else:
+                keeper.append(dpath)
+            sizes.append(d.size)
+            is_dir.append(isinstance(d, _Dir))
+    return pa.table({
+        "to_delete": pa.array(to_delete, pa.string()),
+        "keep_dir": pa.array(keep_dir, pa.string()),
+        "keeper": pa.array(keeper, pa.string()),
+        "size": pa.array(sizes, pa.int64()),
+        "is_dir": pa.array(is_dir, pa.bool_()),
+    })

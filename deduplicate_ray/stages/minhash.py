@@ -60,9 +60,11 @@ def shingle_hashes(text: str, k: int) -> np.ndarray:
     if n == 0:
         return _mix64(np.array([0], dtype=np.uint64))
     if n < k:
-        h = np.uint64(0)
-        for v in b:
-            h = h * _POLY + v
+        # intended mod-2^64 wraparound; python-int arithmetic masked to 64
+        # bits avoids numpy's scalar-overflow RuntimeWarning
+        h = 0
+        for v in b.tolist():
+            h = (h * int(_POLY) + v) & 0xFFFFFFFFFFFFFFFF
         return _mix64(np.array([h], dtype=np.uint64))
     # polynomial hash of each window: sum_j b[i+j] * POLY^(k-1-j)
     acc = np.zeros(n - k + 1, dtype=np.uint64)

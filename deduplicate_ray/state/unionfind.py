@@ -83,13 +83,17 @@ def driver_union_find(edge_rows: list[tuple[str, str]]) -> dict[str, str]:
 
 
 def _labels_checksum(labels: rd.Dataset) -> int:
+    """Order-independent convergence probe: sum of a vectorized stable hash
+    of (node, label) pairs — one C-speed pass per batch (the round-1
+    version ran a per-row blake2b Python loop over the whole label table
+    every round)."""
+    from deduplicate_ray.stages.joins import stable_hash
+
     def hash_batch(t: pa.Table) -> pa.Table:
-        hs = [
-            int.from_bytes(hashlib.blake2b(f"{n}\x00{l}".encode(),
-                                           digest_size=8).digest(), "big") >> 1
-            for n, l in zip(t.column("node").to_pylist(),
-                            t.column("label").to_pylist())
-        ]
+        import pandas as pd
+        joined = pd.Series(t.column("node").to_pandas()).str.cat(
+            t.column("label").to_pandas(), sep="\x00")
+        hs = (stable_hash(joined.to_numpy()) >> np.uint64(1)).astype(np.int64)
         return pa.table({"h": pa.array(hs, pa.int64())})
 
     return labels.map_batches(hash_batch, batch_format="pyarrow").sum("h") or 0
@@ -112,14 +116,20 @@ def connected_components(edges: rd.Dataset, *,
     resumes from the last complete round directory via ``_SUCCESS``
     markers).
     """
-    # single-execution probe: take() short-circuits once past the limit
-    probe = edges.select_columns(["src", "dst"]).take(driver_limit + 1)
-    if not probe:
+    # Pin the narrow edge relation once (no-op if the caller already
+    # materialized/checkpointed it), then probe with a metadata-only
+    # count(): the round-1 take(limit+1) probe pulled up to 2M edge rows to
+    # the driver just to measure, and the lazy lineage then executed a
+    # SECOND time for the distributed path's symmetric pin.
+    edges = edges.select_columns(["src", "dst"]).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
         return rd.from_arrow(pa.table(
             {"node": pa.array([], pa.string()), "label": pa.array([], pa.string())}))
 
-    if len(probe) <= driver_limit:
-        mapping = driver_union_find([(r["src"], r["dst"]) for r in probe])
+    if n_edges <= driver_limit:
+        rows = edges.take_all()
+        mapping = driver_union_find([(r["src"], r["dst"]) for r in rows])
         labels = rd.from_arrow(pa.table({
             "node": list(mapping.keys()), "label": list(mapping.values())}))
         return _drop_anchor_rows(labels)
