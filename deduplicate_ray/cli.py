@@ -34,7 +34,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="skip the Stage-3 containment pass")
     p.add_argument("--cascade", action="store_true",
                    help="faithful size/beg/rev hash cascade mode")
-    p.add_argument("--complete-hash", action="store_true", default=True)
+    # BooleanOptionalAction adds --no-complete-hash: the reference's
+    # sampled-hash cascade mode (complete_hash=False, dupe_analysis.py:17)
+    # was unreachable from the round-1 CLI (store_true with default=True)
+    p.add_argument("--complete-hash", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="full-content hash as the final cascade key; "
+                   "--no-complete-hash reproduces the reference's "
+                   "sampled-hash (rev_hash) grouping")
     p.add_argument("--shingle-k", type=int, default=5)
     p.add_argument("--num-perms", type=int, default=128)
     p.add_argument("--bands", type=int, default=32)
@@ -52,6 +59,8 @@ def main(argv: list[str] | None = None) -> int:
     from deduplicate_ray.sources.corpus import read_corpus, validate_schema
     from deduplicate_ray.stages import exact
 
+    from deduplicate_ray.state.checkpoint import input_fingerprint_of
+
     cfg = PipelineConfig(
         cascade=args.cascade, complete_hash=args.complete_hash,
         excludes=SYNOLOGY_EXCLUDES if args.synology else (),
@@ -59,7 +68,8 @@ def main(argv: list[str] | None = None) -> int:
         lsh_bands=args.bands, lsh_rows=args.num_perms // args.bands,
         verify_threshold=args.verify_threshold,
         num_partitions=args.num_partitions,
-        checkpoint_dir=args.checkpoint_dir)
+        checkpoint_dir=args.checkpoint_dir,
+        input_fingerprint=input_fingerprint_of(args.corpus))
 
     corpus = validate_schema(read_corpus(args.corpus))
 

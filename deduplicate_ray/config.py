@@ -90,6 +90,14 @@ class PipelineConfig:
     driver_metadata_limit: int = 2_000_000
     checkpoint_dir: str | None = None   # stage checkpoints live here when set
     resume: bool = True             # skip stages with a complete, matching manifest
+    #: Identity of the INPUT corpus (set via
+    #: ``state.checkpoint.input_fingerprint_of`` on the source paths).
+    #: Recorded in every stage manifest and required to match on resume —
+    #: running the same config over a different or updated corpus with a
+    #: reused checkpoint_dir recomputes instead of returning stale results
+    #: (the reference keys its cache on the input dir-set,
+    #: dupe_analysis.py:38-43).
+    input_fingerprint: str | None = None
 
     def __post_init__(self) -> None:
         if self.lsh_bands * self.lsh_rows != self.num_perms:

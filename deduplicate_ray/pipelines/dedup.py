@@ -38,7 +38,7 @@ def _pin(ds_factory, cfg: PipelineConfig, stage: str) -> rd.Dataset:
     if cfg.checkpoint_dir:
         return checkpoint.checkpointed(
             ds_factory, cfg.checkpoint_dir, stage, cfg.fingerprint(),
-            resume=cfg.resume)
+            resume=cfg.resume, input_fingerprint=cfg.input_fingerprint)
     return ds_factory().materialize()
 
 
@@ -243,6 +243,41 @@ def assign_all(corpus: rd.Dataset, clusters: rd.Dataset,
                                     names=["file_id", "cluster_id"])
 
     return joined.map_batches(fill, batch_format="pyarrow")
+
+
+def hashes_for(corpus: rd.Dataset, cfg: PipelineConfig) -> rd.Dataset:
+    """The narrow ``(file_id, repo, path, size, sha256)`` hashed relation
+    for one corpus, under the checkpoint protocol: with ``checkpoint_dir``
+    set and a complete, (config+input)-fingerprint-matching ``hashes``
+    stage on disk, the parquet is REUSED — no re-read, no re-hash."""
+    return _pin(lambda: exact.hash_corpus(corpus, cfg), cfg, "hashes_full")
+
+
+def merge_analyses(inputs: list[tuple[rd.Dataset, PipelineConfig]],
+                   num_partitions: int = 16) -> rd.Dataset:
+    """Cached-subset analysis merge (S7/D2 parity): the reference's
+    ``load()`` greedily reuses per-dir cached DBs when asked for a superset
+    (``dupe_analysis.py:122-158``) and then recomputes hash candidacy
+    across the merged population (``:493-494``). Here each input corpus
+    brings its own (checkpointed) hashed relation via :func:`hashes_for` —
+    a previously analyzed corpus contributes its parquet checkpoint
+    untouched — and the merged exact grouping re-runs downstream, which is
+    cheap because sha256 is per-row and total (a file unique in corpus A
+    correctly becomes a dupe against corpus B with no cross-set
+    recompute). Returns the merged exact-dup membership relation."""
+    assert inputs, "need at least one (corpus, cfg) input"
+    merged = hashes_for(*inputs[0])
+    for corpus, cfg in inputs[1:]:
+        merged = merged.union(hashes_for(corpus, cfg))
+
+    def drop_dup_ids(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["file_id"])
+
+    # INSERT OR IGNORE on the composite identity (file_id = repo:commit:path)
+    merged = merged.groupby("file_id").map_groups(
+        drop_dup_ids, batch_format="pandas")
+    return exact.exact_members(merged,
+                               PipelineConfig(num_partitions=num_partitions))
 
 
 def merge_corpora(corpora: list[rd.Dataset]) -> rd.Dataset:

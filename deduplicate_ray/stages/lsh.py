@@ -196,11 +196,12 @@ def candidate_pairs(bands: rd.Dataset, cfg: PipelineConfig | None = None) -> rd.
     """
     cfg = cfg or PipelineConfig()
     big_rows = oversized_buckets(bands, cfg)
+    # NB: when salting is active the salted lineage has two consumers
+    # (pair emit + bridge edges) and is deliberately left lazy — the
+    # re-executed salt map is cheap vector work over pinned signature
+    # blocks, far cheaper than materializing the multi-million-row
+    # exploded band relation just to feed the tiny bridge branch.
     salted = add_salt(bands, cfg, big_rows=big_rows)
-    if big_rows:
-        # two consumers (pair emit + bridges): pin so the salt map and its
-        # upstream band explode run once
-        salted = salted.materialize()
     max_n = cfg.max_bucket_pairs
     n_parts = cfg.num_partitions * 4
 

@@ -15,12 +15,21 @@ a partitioning choice, not a code change.
 
 Physical plan: ``groupby(partition).map_groups(scan)`` — one stateful scan
 per group (the per-group analog of an actor-held index). The scan
-concatenates the group's contents with a ``\\x00`` sentinel (never present in
-text content) and uses C-speed ``str.find`` over the concatenation: cost
-O(g * |S|) per group worst-case, with the candidate set shrunk by the
-``min_containment_len`` floor. For very large groups a suffix-array build
-(O(|S| log |S|)) amortizes repeated scans; the sentinel layout is already
-SA-ready.
+concatenates the group's contents with a ``\\x00`` sentinel (never present
+in text content) and queries containment through a **suffix array** of the
+concatenation:
+
+* build: prefix-doubling over numpy ``lexsort`` — O(|S| log²|S|), all
+  C-speed vector passes (north_star names the suffix-array pass
+  explicitly; the round-1 version was repeated ``str.find``, O(g·|S|));
+* query per doc: two binary searches over the SA locate the suffix range
+  whose prefixes equal the doc's content — O(|a|·log|S|) byte compares —
+  then every occurrence maps to its holder doc with one ``searchsorted``.
+  UTF-8 is self-synchronizing, so byte-level matches are exactly
+  character-level matches.
+
+Small groups (< ``_SA_MIN_BYTES`` total) keep the C ``bytes.find`` scan —
+cheaper than building an index that is thrown away.
 """
 
 from __future__ import annotations
@@ -34,31 +43,101 @@ from deduplicate_ray.config import PipelineConfig
 from deduplicate_ray.functions import hashing
 
 SENTINEL = "\x00"
+_SA_MIN_BYTES = 1 << 20  # below this, brute find beats building the index
+
+
+def build_suffix_array(data: bytes) -> np.ndarray:
+    """Suffix array of ``data`` by prefix doubling (Manber–Myers over numpy
+    ``lexsort``): O(n log² n), every pass vectorized."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    rank = arr.astype(np.int64)
+    k = 1
+    order = np.argsort(rank, kind="stable")
+    while True:
+        key2 = np.full(n, -1, dtype=np.int64)
+        if k < n:
+            key2[:-k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        changed = np.empty(n, dtype=np.int64)
+        changed[0] = 0
+        if n > 1:
+            changed[1:] = ((rank[order][1:] != rank[order][:-1])
+                           | (key2[order][1:] != key2[order][:-1]))
+        new_rank = np.cumsum(changed)
+        if new_rank[-1] == n - 1:
+            return order
+        r = np.empty(n, dtype=np.int64)
+        r[order] = new_rank
+        rank = r
+        k *= 2
+
+
+def _sa_occurrences(concat: bytes, sa: np.ndarray, pat: bytes) -> np.ndarray:
+    """All start positions of ``pat`` in ``concat`` via two binary searches
+    on the suffix array (O(|pat| log n) byte compares)."""
+    m = len(pat)
+    lo, hi = 0, len(sa)
+    # lower bound: first suffix >= pat
+    while lo < hi:
+        mid = (lo + hi) // 2
+        p = sa[mid]
+        if concat[p:p + m] < pat:
+            lo = mid + 1
+        else:
+            hi = mid
+    start = lo
+    hi = len(sa)
+    # upper bound: first suffix whose m-prefix > pat
+    while lo < hi:
+        mid = (lo + hi) // 2
+        p = sa[mid]
+        if concat[p:p + m] <= pat:
+            lo = mid + 1
+        else:
+            hi = mid
+    return sa[start:lo]
 
 
 def containment_pairs_in_group(file_ids: list[str], contents: list[str],
                                min_len: int = 32) -> list[tuple[str, str]]:
     """(inner, outer) pairs where inner's content is a proper substring of
     outer's content. Equal contents are NOT reported (Stage 1 territory)."""
-    order = np.argsort([len(c) for c in contents], kind="stable")
-    concat = SENTINEL.join(contents)
-    # start offset of each doc in the concatenation
-    offs = np.zeros(len(contents) + 1, dtype=np.int64)
-    for i, c in enumerate(contents):
+    enc = [c.encode() for c in contents]
+    concat = SENTINEL.encode().join(enc)
+    offs = np.zeros(len(enc) + 1, dtype=np.int64)
+    for i, c in enumerate(enc):
         offs[i + 1] = offs[i] + len(c) + 1  # +1 for sentinel
     starts = offs[:-1]
+    order = np.argsort([len(c) for c in enc], kind="stable")
+
+    use_sa = len(concat) >= _SA_MIN_BYTES
+    sa = build_suffix_array(concat) if use_sa else None
 
     pairs: set[tuple[str, str]] = set()
+    seen_content: dict[bytes, np.ndarray] = {}
     for idx in order:
-        a = contents[idx]
+        a = enc[idx]
         if len(a) < min_len:
             continue
-        pos = concat.find(a)
-        while pos != -1:
+        if use_sa:
+            positions = seen_content.get(a)
+            if positions is None:
+                positions = _sa_occurrences(concat, sa, a)
+                seen_content[a] = positions
+            it = positions.tolist()
+        else:
+            it = []
+            pos = concat.find(a)
+            while pos != -1:
+                it.append(pos)
+                pos = concat.find(a, pos + 1)
+        for pos in it:
             holder = int(np.searchsorted(starts, pos, side="right") - 1)
-            if holder != idx and len(contents[holder]) > len(a):
+            if holder != idx and len(enc[holder]) > len(a):
                 pairs.add((file_ids[idx], file_ids[holder]))
-            pos = concat.find(a, pos + 1)
     return sorted(pairs)
 
 
@@ -74,9 +153,10 @@ def containment_edges(corpus_with_ids: rd.Dataset,
     def scan(g: pd.DataFrame) -> pd.DataFrame:
         pairs = containment_pairs_in_group(
             g["file_id"].tolist(), g["content"].fillna("").tolist(), min_len)
-        return pd.DataFrame({"src": [p[0] for p in pairs],
-                             "dst": [p[1] for p in pairs]},
-                            columns=["src", "dst"]).astype(str)
+        return pd.DataFrame(
+            {"src": pd.Series([p[0] for p in pairs], dtype=object),
+             "dst": pd.Series([p[1] for p in pairs], dtype=object)},
+            columns=["src", "dst"])
 
     cols = ["file_id", "content", pcol]
     return corpus_with_ids.select_columns(cols).groupby(pcol).map_groups(

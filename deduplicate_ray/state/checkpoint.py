@@ -44,17 +44,36 @@ def load_manifest(root: str, stage: str) -> dict | None:
     p = manifest_path(root, stage)
     if not os.path.exists(p):
         return None
-    with open(p) as f:
-        return json.load(f)
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except json.JSONDecodeError:
+        # truncated manifest (crash mid-write): treat the stage as
+        # incomplete and recompute rather than failing every resume
+        return None
 
 
-def is_complete(root: str, stage: str, fingerprint: str) -> bool:
+def is_complete(root: str, stage: str, fingerprint: str,
+                input_fingerprint: str | None = None) -> bool:
+    """A stage is reusable only when its manifest is complete AND both the
+    config fingerprint and (when the caller tracks one) the INPUT
+    fingerprint match — resume=True on a reused checkpoint_dir with a
+    different or updated corpus must recompute, not silently return stale
+    results (the reference keys its cache on a sha1 of the input dir-set,
+    dupe_analysis.py:38-43; ADVICE round 1)."""
     m = load_manifest(root, stage)
-    return bool(m and m.get("complete") and m.get("fingerprint") == fingerprint)
+    if not (m and m.get("complete") and m.get("fingerprint") == fingerprint):
+        return False
+    if input_fingerprint is not None:
+        return m.get("input_fingerprint") == input_fingerprint
+    return True
 
 
-def write_stage(ds: rd.Dataset, root: str, stage: str, fingerprint: str) -> str:
-    """Write ``ds`` as the checkpoint of ``stage``; manifest committed last."""
+def write_stage(ds: rd.Dataset, root: str, stage: str, fingerprint: str,
+                input_fingerprint: str | None = None) -> str:
+    """Write ``ds`` as the checkpoint of ``stage``; manifest committed last
+    (temp file + atomic rename, so a crash can never leave a manifest that
+    parses but lies)."""
     final = stage_path(root, stage)
     tmp = final + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -77,16 +96,24 @@ def write_stage(ds: rd.Dataset, root: str, stage: str, fingerprint: str) -> str:
         total_bytes += os.path.getsize(fp)
 
     os.rename(tmp, final)
-    with open(manifest_path(root, stage), "w") as f:
-        json.dump({
-            "stage": stage,
-            "fingerprint": fingerprint,
-            "complete": True,
-            "rows": total_rows,
-            "bytes": total_bytes,
-            "partitions": parts,
-            "written_at": time.time(),
-        }, f, indent=1)
+    manifest = {
+        "stage": stage,
+        "fingerprint": fingerprint,
+        "complete": True,
+        "rows": total_rows,
+        "bytes": total_bytes,
+        "partitions": parts,
+        "written_at": time.time(),
+    }
+    if input_fingerprint is not None:
+        manifest["input_fingerprint"] = input_fingerprint
+    mp = manifest_path(root, stage)
+    mp_tmp = mp + ".tmp"
+    with open(mp_tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(mp_tmp, mp)
     return final
 
 
@@ -94,19 +121,44 @@ def read_stage(root: str, stage: str) -> rd.Dataset:
     return rd.read_parquet(stage_path(root, stage))
 
 
+def input_fingerprint_of(paths) -> str:
+    """Input-identity fingerprint: sha256 over the sorted source file list
+    with sizes + mtimes — the analog of the reference's sha1 of the sorted
+    dir-set (dupe_analysis.py:38-43), strengthened with content-change
+    signals so an updated corpus invalidates the cache."""
+    import hashlib
+    if isinstance(paths, str):
+        paths = [paths]
+    entries = []
+    for p in sorted(paths):
+        if os.path.isdir(p):
+            for name in sorted(os.listdir(p)):
+                fp = os.path.join(p, name)
+                if os.path.isfile(fp):
+                    st = os.stat(fp)
+                    entries.append(f"{fp}:{st.st_size}:{st.st_mtime_ns}")
+        elif os.path.isfile(p):
+            st = os.stat(p)
+            entries.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+        else:
+            entries.append(p)
+    return hashlib.sha256("\n".join(entries).encode()).hexdigest()[:16]
+
+
 def checkpointed(factory, root: str | None, stage: str, fingerprint: str,
-                 resume: bool = True) -> rd.Dataset:
+                 resume: bool = True,
+                 input_fingerprint: str | None = None) -> rd.Dataset:
     """Run ``factory()`` under the checkpoint protocol.
 
     With no ``root``: just ``factory()`` (in-memory pipeline). With a root:
-    reuse a complete, fingerprint-matching checkpoint; otherwise compute,
-    write, and hand back the durable copy (so downstream lineage reads
-    Parquet, not the recomputation graph).
+    reuse a complete checkpoint whose config AND input fingerprints match;
+    otherwise compute, write, and hand back the durable copy (so
+    downstream lineage reads Parquet, not the recomputation graph).
     """
     if not root:
         return factory()
-    if resume and is_complete(root, stage, fingerprint):
+    if resume and is_complete(root, stage, fingerprint, input_fingerprint):
         return read_stage(root, stage)
     ds = factory()
-    write_stage(ds, root, stage, fingerprint)
+    write_stage(ds, root, stage, fingerprint, input_fingerprint)
     return read_stage(root, stage)

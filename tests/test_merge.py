@@ -41,6 +41,51 @@ def test_merge_insert_or_ignore_identity():
     assert exact.exact_members(exact.hash_corpus(merged)).count() == 0
 
 
+def test_merge_reuses_cached_subset(tmp_path):
+    """S7 cached-subset reuse (reference dupe_analysis.py:122-158): corpus
+    A is analyzed once with a checkpoint dir; merging in corpus B reuses
+    A's hashed checkpoint untouched (manifest byte-identical) and still
+    finds the cross-corpus dupes."""
+    import os
+    from deduplicate_ray import PipelineConfig
+
+    a = _corpus([("ra", "x.txt", "SHARED" * 100), ("ra", "u1.txt", "only-a" * 50)])
+    b = _corpus([("rb", "y.txt", "SHARED" * 100)])
+    cfg_a = PipelineConfig(checkpoint_dir=str(tmp_path / "a"),
+                           input_fingerprint="corpus-a-v1")
+    cfg_b = PipelineConfig(checkpoint_dir=str(tmp_path / "b"),
+                           input_fingerprint="corpus-b-v1")
+
+    # first analysis of A writes its checkpoint
+    dedup.hashes_for(a, cfg_a).count()
+    manifest = tmp_path / "a" / "hashes_full" / "_MANIFEST.json"
+    before = manifest.read_bytes()
+    mtime = os.stat(manifest).st_mtime_ns
+
+    members = dedup.merge_analyses([(a, cfg_a), (b, cfg_b)])
+    got = exact.groups_as_sets(members)
+    assert got == [frozenset({file_id("ra", "c", "x.txt"),
+                              file_id("rb", "c", "y.txt")})]
+    # A's stage checkpoint was reused, not recomputed
+    assert manifest.read_bytes() == before
+    assert os.stat(manifest).st_mtime_ns == mtime
+
+
+def test_checkpoint_input_fingerprint_invalidates(tmp_path):
+    """Same config + same checkpoint dir + DIFFERENT input fingerprint must
+    recompute (stale-cache guard; ADVICE round 1)."""
+    from deduplicate_ray import PipelineConfig
+
+    a1 = _corpus([("r", "x.txt", "V1" * 100)])
+    a2 = _corpus([("r", "x.txt", "V2" * 100)])
+    root = str(tmp_path / "ck")
+    cfg1 = PipelineConfig(checkpoint_dir=root, input_fingerprint="in-v1")
+    h1 = dedup.hashes_for(a1, cfg1).take_all()
+    cfg2 = PipelineConfig(checkpoint_dir=root, input_fingerprint="in-v2")
+    h2 = dedup.hashes_for(a2, cfg2).take_all()
+    assert h1[0]["sha256"] != h2[0]["sha256"]  # recomputed, not stale
+
+
 def test_human_size_parity():
     assert human_size(0) == "0.00 B"
     assert human_size(1023) == "1023.00 B"

@@ -27,6 +27,39 @@ def test_containment_equal_contents_not_reported():
     assert pairs == []
 
 
+def test_suffix_array_matches_brute_force(monkeypatch):
+    """The SA-backed scan must produce exactly the brute-find edge set
+    (same inputs, forced down both paths)."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    alphabet = "abcdef"
+    docs = ["".join(rng.choice(list(alphabet), size=200)) for _ in range(30)]
+    # embed some docs inside others
+    docs[3] = docs[0] + docs[1] + "xyz"
+    docs[7] = "qq" + docs[2] + "zz"
+    docs[9] = docs[2]  # equal content: must NOT be reported
+    ids = [f"d{i}" for i in range(len(docs))]
+
+    brute = substring.containment_pairs_in_group(ids, docs, min_len=32)
+    monkeypatch.setattr(substring, "_SA_MIN_BYTES", 0)
+    via_sa = substring.containment_pairs_in_group(ids, docs, min_len=32)
+    assert via_sa == brute
+    assert ("d0", "d3") in via_sa and ("d2", "d7") in via_sa
+    assert ("d2", "d9") not in via_sa and ("d9", "d7") in via_sa
+
+
+def test_suffix_array_unit():
+    from deduplicate_ray.stages.substring import (_sa_occurrences,
+                                                  build_suffix_array)
+    s = b"banana"
+    sa = build_suffix_array(s)
+    # suffixes sorted: a(5) ana(3) anana(1) banana(0) na(4) nana(2)
+    assert sa.tolist() == [5, 3, 1, 0, 4, 2]
+    assert sorted(_sa_occurrences(s, sa, b"ana").tolist()) == [1, 3]
+    assert sorted(_sa_occurrences(s, sa, b"na").tolist()) == [2, 4]
+    assert _sa_occurrences(s, sa, b"xyz").tolist() == []
+
+
 def test_embedded_fixture_edges():
     fx = fx_embedded(n_pairs=6)
     cfg = PipelineConfig()
