@@ -167,8 +167,56 @@ def scaling() -> None:
                 f"**{p['scaling_efficiency']}**\n" for p in pairs))
 
 
+def substring_bench(group_mb: int = 16) -> None:
+    """Micro-bench for the Stage-3 suffix-array scan: one synthetic group
+    of ~group_mb MB (2k docs, boilerplate-heavy with planted embeddings),
+    timed for SA build + all-doc containment query, vs the brute
+    ``bytes.find`` path on the same input. Run on demand
+    (``bench.py --substring``); the measured numbers are recorded in
+    BASELINE.md."""
+    import random
+    import time as _t
+
+    from deduplicate_ray.stages import substring as ss
+
+    rng = random.Random(42)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "theta"]
+    n_docs = 2000
+    target = group_mb * (1 << 20)
+    per_doc = target // n_docs
+    docs = []
+    for i in range(n_docs):
+        body = " ".join(rng.choice(words) for _ in range(per_doc // 6))
+        docs.append(body)
+    # plant 50 embedded-docs
+    for i in range(50):
+        inner = docs[i][: per_doc // 2]
+        docs[n_docs - 1 - i] = docs[n_docs - 1 - i][:100] + inner
+        docs[i] = inner
+    ids = [f"d{i}" for i in range(n_docs)]
+
+    t0 = _t.perf_counter()
+    sa_pairs = ss.containment_pairs_in_group(ids, docs, min_len=64)
+    sa_sec = _t.perf_counter() - t0
+
+    old_min = ss._SA_MIN_BYTES
+    ss._SA_MIN_BYTES = 1 << 62  # force brute path
+    t0 = _t.perf_counter()
+    brute_pairs = ss.containment_pairs_in_group(ids, docs, min_len=64)
+    brute_sec = _t.perf_counter() - t0
+    ss._SA_MIN_BYTES = old_min
+
+    print(json.dumps({
+        "metric": "substring_sa_sec", "group_mb": group_mb,
+        "n_docs": n_docs, "sa_sec": round(sa_sec, 2),
+        "brute_find_sec": round(brute_sec, 2),
+        "pairs": len(sa_pairs), "pairs_match": sa_pairs == brute_pairs}))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--substring" in sys.argv:
+        substring_bench()
     else:
         main()

@@ -28,6 +28,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="stage checkpoint root (enables resume)")
     p.add_argument("--analyze", action="store_true",
                    help="stop after exact-dup analysis (reference --analyze)")
+    p.add_argument("--manual-hashes", metavar="PARQUET", default=None,
+                   help="use a previously written hashed relation directly "
+                   "(the reference's --manual DB flag, deduplicate.py:738); "
+                   "implies --analyze semantics over the cached hashes — "
+                   "no corpus read, no re-hash")
     p.add_argument("--synology", action="store_true",
                    help="apply the reference's exclude globs (*/@*, */.*)")
     p.add_argument("--no-substring", action="store_true",
@@ -71,11 +76,21 @@ def main(argv: list[str] | None = None) -> int:
         checkpoint_dir=args.checkpoint_dir,
         input_fingerprint=input_fingerprint_of(args.corpus))
 
+    if args.manual_hashes:
+        import ray.data as rd
+        hashes = rd.read_parquet(args.manual_hashes)
+        members = exact.exact_members(hashes, cfg)
+        members.write_parquet(f"{args.out}/exact_members")
+        print(json.dumps({"exact_dup_rows": members.count(),
+                          "out": args.out, "hashes": args.manual_hashes}))
+        return 0
+
     corpus = validate_schema(read_corpus(args.corpus))
 
     if args.analyze:
-        hashes = exact.hash_corpus(corpus, cfg)
+        hashes = exact.hash_corpus(corpus, cfg).materialize()
         members = exact.exact_members(hashes, cfg)
+        hashes.write_parquet(f"{args.out}/hashes")
         members.write_parquet(f"{args.out}/exact_members")
         n = members.count()
         print(json.dumps({"exact_dup_rows": n, "out": args.out}))

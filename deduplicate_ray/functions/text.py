@@ -52,36 +52,48 @@ def add_token_counts(batch: pa.Table, column: str = "text") -> pa.Table:
                 .append_column("n_tokens_bpeish", bp)
 
 
+_PUNCT_RE = r"[^\w\s]"
+_EN_STOP_RE = r"\b(?:" + "|".join(sorted(_STOPWORDS["en"])) + r")\b"
+
+
 def quality_frame(texts: list[str]) -> dict[str, np.ndarray]:
     """Quality signals per text: length, punct/digit/space/upper ratios,
-    mean line length, stopword ratio (en)."""
-    n = len(texts)
+    mean line length, stopword ratio (en).
+
+    Fully vectorized: every signal is a pandas ``str.count`` regex pass
+    (C loop) over the batch — the round-1 version ran
+    ``sum(c.isdigit() for c in t)``-style pure-Python char loops per row
+    (O(chars) Python per doc, a CPU sink at corpus scale). Signal
+    definitions are regex-based: digits = ``\\d``, spaces = ``\\s``,
+    uppercase = ``[A-Z]`` + Unicode uppercase via casefold trick is NOT
+    attempted (ASCII uppercase is the boilerplate signal that matters),
+    mean line length = non-newline chars / line count."""
+    s = pd.Series(texts, dtype=object).fillna("")
+    L = s.str.len().to_numpy(dtype=np.float64)
+    safe = np.where(L == 0, 1.0, L)
+    punct = s.str.count(_PUNCT_RE).to_numpy(dtype=np.float64)
+    digit = s.str.count(r"\d").to_numpy(dtype=np.float64)
+    space = s.str.count(r"\s").to_numpy(dtype=np.float64)
+    upper = s.str.count(r"[A-Z]").to_numpy(dtype=np.float64)
+    newlines = s.str.count(r"\n").to_numpy(dtype=np.float64)
+    n_lines = newlines + 1.0
+    mean_line = (L - newlines) / n_lines
+    tokens = s.str.strip().str.split(r"\s+").str.len() \
+        .fillna(0).to_numpy(dtype=np.float64)
+    tokens_safe = np.where(tokens == 0, 1.0, tokens)
+    stop_hits = s.str.lower().str.count(_EN_STOP_RE) \
+        .to_numpy(dtype=np.float64)
+    zero = L == 0
     out = {
-        "n_chars_q": np.zeros(n, dtype=np.int64),
-        "punct_ratio": np.zeros(n),
-        "digit_ratio": np.zeros(n),
-        "space_ratio": np.zeros(n),
-        "upper_ratio": np.zeros(n),
-        "mean_line_len": np.zeros(n),
-        "stopword_ratio": np.zeros(n),
+        "n_chars_q": L.astype(np.int64),
+        "punct_ratio": np.where(zero, 0.0, punct / safe),
+        "digit_ratio": np.where(zero, 0.0, digit / safe),
+        "space_ratio": np.where(zero, 0.0, space / safe),
+        "upper_ratio": np.where(zero, 0.0, upper / safe),
+        "mean_line_len": np.where(zero, 0.0, mean_line),
+        "stopword_ratio": np.where(zero, 0.0,
+                                   np.minimum(stop_hits / tokens_safe, 1.0)),
     }
-    punct_re = re.compile(r"[^\w\s]")
-    for i, t in enumerate(texts):
-        t = t or ""
-        L = len(t)
-        out["n_chars_q"][i] = L
-        if L == 0:
-            continue
-        out["punct_ratio"][i] = len(punct_re.findall(t)) / L
-        out["digit_ratio"][i] = sum(c.isdigit() for c in t) / L
-        out["space_ratio"][i] = sum(c.isspace() for c in t) / L
-        out["upper_ratio"][i] = sum(c.isupper() for c in t) / L
-        lines = t.splitlines() or [t]
-        out["mean_line_len"][i] = float(np.mean([len(l) for l in lines]))
-        words = [w.lower() for w in _WS.split(t.strip()) if w]
-        if words:
-            sw = _STOPWORDS["en"]
-            out["stopword_ratio"][i] = sum(w in sw for w in words) / len(words)
     return out
 
 
@@ -112,29 +124,46 @@ def quality_score(batch: pa.Table) -> pa.Table:
 
 
 class TextAnalyzer:
-    """Actor-pool text stage: stopword sets + regexes compiled once per
-    actor (__init__), vectorized-ish scoring per batch (__call__)."""
+    """Actor-pool text stage: per-language stopword alternation regexes
+    compiled once per actor (__init__); per batch one vectorized
+    ``str.count`` pass per language + argmax (__call__) — no per-word
+    Python (round-1 ran a per-word set probe per row)."""
 
     def __init__(self, column: str = "text"):
         self.column = column
-        self.stop = {k: frozenset(v) for k, v in _STOPWORDS.items()}
-        self.ws = _WS
+        self.langs = sorted(_STOPWORDS)
+        self.patterns = {
+            lang: re.compile(r"\b(?:" + "|".join(sorted(sw)) + r")\b")
+            for lang, sw in _STOPWORDS.items()
+        }
 
     def guess_lang(self, text: str) -> str:
-        words = [w.lower() for w in self.ws.split((text or "").strip()) if w][:200]
-        if not words:
-            return "unknown"
+        lowered = (text or "")[:2000].lower()
         best, best_hits = "unknown", 0
-        for lang, sw in self.stop.items():
-            hits = sum(w in sw for w in words)
+        for lang in self.langs:
+            hits = len(self.patterns[lang].findall(lowered))
             if hits > best_hits:
                 best, best_hits = lang, hits
         return best
 
+    def guess_lang_batch(self, texts: list[str]) -> list[str]:
+        # cap at the first 2000 chars per doc: language is decidable from a
+        # prefix, and the cap bounds per-row regex cost on huge docs
+        s = pd.Series(texts, dtype=object).fillna("") \
+            .str.slice(0, 2000).str.lower()
+        hits = np.stack([
+            s.str.count(self.patterns[lang].pattern)
+            .to_numpy(dtype=np.int64) for lang in self.langs])
+        best = np.argmax(hits, axis=0)
+        none = hits.max(axis=0) == 0
+        out = np.asarray(self.langs, dtype=object)[best]
+        out[none] = "unknown"
+        return out.tolist()
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = [(t or "") for t in batch.column(self.column).to_pylist()]
         batch = batch.append_column(
-            "lang_guess", pa.array([self.guess_lang(t) for t in texts]))
+            "lang_guess", pa.array(self.guess_lang_batch(texts)))
         for name, arr in quality_frame(texts).items():
             batch = batch.append_column(name, pa.array(arr))
         return quality_score(batch)

@@ -351,17 +351,15 @@ def q_embedding_cosine_pairs(sf_dir: str):
     from deduplicate_ray.stages.similarity import _normalize
 
     def emit(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["vec_id"].to_numpy()
-        vecs = _normalize(np.stack(g["embedding"].to_numpy()))
+        # vectorized upper-triangle threshold pick (ids sorted so src < dst)
+        order = np.argsort(g["vec_id"].to_numpy())
+        ids = g["vec_id"].to_numpy()[order]
+        vecs = _normalize(np.stack(g["embedding"].to_numpy()))[order]
         sims = vecs @ vecs.T
-        order = np.argsort(ids)
-        src, dst = [], []
-        for a in range(len(order)):
-            for b in range(a + 1, len(order)):
-                i, j = order[a], order[b]
-                if sims[i, j] >= 0.3:
-                    src.append(int(ids[i])); dst.append(int(ids[j]))
-        return pd.DataFrame({"src": src, "dst": dst}, columns=["src", "dst"]).astype("int64")
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= 0.3
+        return pd.DataFrame({"src": ids[iu[keep]], "dst": ids[ju[keep]]},
+                            columns=["src", "dst"]).astype("int64")
 
     out = one_bucket.groupby("bucket").map_groups(emit, batch_format="pandas")
     return _as_table(out, pa.schema([("src", pa.int64()), ("dst", pa.int64())]))

@@ -351,13 +351,16 @@ def embedding_cosine_edges(embeddings: rd.Dataset, threshold: float = 0.95,
         ids = g[id_col].to_numpy()
         vecs = _normalize(np.stack(g[vec_col].to_numpy()))
         sims = vecs @ vecs.T
-        src, dst, sc = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if sims[i, j] >= threshold:
-                    a, b = sorted((ids[i], ids[j]))
-                    src.append(a); dst.append(b); sc.append(float(sims[i, j]))
-        return pd.DataFrame({"src": src, "dst": dst, "cosine": sc},
+        # vectorized threshold pick over the upper triangle (round-1 ran a
+        # per-pair Python double loop)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= threshold
+        ii, jj = iu[keep], ju[keep]
+        a, b = ids[ii], ids[jj]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        return pd.DataFrame({"src": lo, "dst": hi,
+                             "cosine": sims[ii, jj].astype(np.float64)},
                             columns=["src", "dst", "cosine"])
 
     return bucketed.select_columns([id_col, vec_col, "bucket"]).groupby(
