@@ -50,9 +50,20 @@ ANCHOR_PREFIX = "~bucket:"
 # per-worker-process cache for the broadcast verify state (see verify_fn)
 _VERIFY_CACHE: dict = {}
 
+# max census rows shipped to every task for singleton pre-filtering; past
+# this the filter is skipped (salting-only fallback) — see candidate_pairs
+_CENSUS_BROADCAST_LIMIT = 5_000_000
+
 
 def _int_col(batch: pa.Table, name: str) -> np.ndarray:
     return batch.column(name).combine_chunks().to_numpy(zero_copy_only=False)
+
+
+def _mix_keys(bh: np.ndarray, bid: np.ndarray) -> np.ndarray:
+    """Combined 64-bit bucket key from (band_hash, band_id) int64 arrays."""
+    mix = (bh.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+           ^ bid.view(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
+    return mix.view(np.int64)
 
 
 def _partition_col(batch: pa.Table, n_parts: int, with_salt: bool) -> pa.Table:
@@ -65,6 +76,41 @@ def _partition_col(batch: pa.Table, n_parts: int, with_salt: bool) -> pa.Table:
         mix = mix ^ salt.view(np.uint64) * np.uint64(0x165667B19E3779F9)
     return batch.append_column(
         "_p", pa.array((mix % np.uint64(n_parts)).astype(np.int32)))
+
+
+def bucket_census(bands: rd.Dataset, cfg: PipelineConfig) -> pd.DataFrame:
+    """Exact per-bucket member counts for every MULTI-member bucket
+    (``n >= 2``), as one driver DataFrame ``(band_id, band_hash, n)``.
+
+    One narrow shuffle of the (band_id, band_hash) int pairs — the
+    file_id strings never move. The census drives BOTH skew decisions:
+
+    * rows in buckets absent from the census are singletons and are
+      dropped BEFORE the expensive pair shuffle (measured: ~80% of band
+      rows on the dup-rich bench corpus — the pair shuffle's input falls
+      5x);
+    * buckets with ``n > salt_threshold`` get salted sub-buckets.
+    """
+    n_parts = cfg.num_partitions * 4
+
+    def count_multi(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g.groupby(["band_id", "band_hash"], sort=False).size()
+        vc = vc[vc > 1]
+        out = vc.reset_index()
+        out.columns = ["band_id", "band_hash", "n"]
+        return out
+
+    parted = bands.select_columns(["band_id", "band_hash"]).map_batches(
+        lambda t: _partition_col(t, n_parts, with_salt=False),
+        batch_format="pyarrow")
+    frames = [b for b in parted.groupby("_p").map_groups(
+        count_multi, batch_format="pandas").iter_batches(
+        batch_format="pandas", batch_size=None)]
+    if not frames:
+        return pd.DataFrame({"band_id": pd.Series([], dtype=np.int64),
+                             "band_hash": pd.Series([], dtype=np.int64),
+                             "n": pd.Series([], dtype=np.int64)})
+    return pd.concat(frames, ignore_index=True)
 
 
 def oversized_buckets(bands: rd.Dataset, cfg: PipelineConfig) -> list[dict]:
@@ -195,13 +241,67 @@ def candidate_pairs(bands: rd.Dataset, cfg: PipelineConfig | None = None) -> rd.
     :func:`bridge_edges` — real pairs, verified like any other.
     """
     cfg = cfg or PipelineConfig()
-    big_rows = oversized_buckets(bands, cfg)
-    # NB: when salting is active the salted lineage has two consumers
+    census = bucket_census(bands, cfg)
+    any_salted = bool(len(census)) and bool(
+        (census["n"] > cfg.salt_threshold).any())
+    if any_salted:
+        hot = census[census["n"] > cfg.salt_threshold]
+        logger.info("lsh: salting %d oversized band buckets (max n=%d)",
+                    len(hot), int(hot["n"].max()))
+    # Broadcasting the full multi-bucket census lets every task drop
+    # singleton rows before the pair shuffle. Past the broadcast budget
+    # (census keys grow with the corpus) fall back to broadcasting only
+    # the oversized keys: salting still works, singletons ride the
+    # shuffle and are dropped inside emit_partition as before.
+    filter_singletons = len(census) <= _CENSUS_BROADCAST_LIMIT
+    kdf = census if filter_singletons else \
+        census[census["n"] > cfg.salt_threshold]
+    kdf = kdf.copy()
+    kdf["_k"] = np.where(
+        kdf["n"] > cfg.salt_threshold,
+        np.maximum(2, -(-kdf["n"] // cfg.salt_threshold)), 0).astype(np.int64)
+    # mixed 64-bit bucket key (same mix as _partition_col): one int index
+    # lookup per row instead of a two-column merge against the census
+    # table on every batch
+    kdf["_key"] = _mix_keys(kdf["band_hash"].to_numpy(dtype=np.int64),
+                            kdf["band_id"].to_numpy(dtype=np.int64))
+    kdf = kdf.drop_duplicates(subset=["_key"])
+    ref = ray.put((kdf["_key"].to_numpy(), kdf["_k"].to_numpy()))
+
+    def filter_and_salt(batch: pa.Table) -> pa.Table:
+        """Drop singleton-bucket rows (the census is the authority) and
+        assign salts — one cached-index lookup serves both decisions."""
+        state = _VERIFY_CACHE.get(ref.hex())
+        if state is None:
+            keys_, ks_ = ray.get(ref)
+            state = (pd.Index(keys_), ks_)
+            if len(_VERIFY_CACHE) > 4:
+                _VERIFY_CACHE.clear()
+            _VERIFY_CACHE[ref.hex()] = state
+        idx, ks = state
+        bkeys = _mix_keys(_int_col(batch, "band_hash").astype(np.int64),
+                          _int_col(batch, "band_id").astype(np.int64))
+        pos = idx.get_indexer(bkeys)
+        if filter_singletons:
+            live = pos >= 0
+            batch = batch.filter(pa.array(live))
+            pos = pos[live]
+        k = np.where(pos >= 0, ks[np.clip(pos, 0, None)], 0)
+        salts = np.zeros(batch.num_rows, dtype=np.int32)
+        hot_rows = k > 1
+        if hot_rows.any():
+            fids = batch.column("file_id").combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            h = stable_hash(fids[hot_rows])
+            salts[hot_rows] = (
+                1 + (h % k[hot_rows].astype(np.uint64))).astype(np.int32)
+        return batch.append_column("salt", pa.array(salts, pa.int32()))
+
+    # NB: the filtered lineage has two consumers when salting is active
     # (pair emit + bridge edges) and is deliberately left lazy — the
-    # re-executed salt map is cheap vector work over pinned signature
-    # blocks, far cheaper than materializing the multi-million-row
-    # exploded band relation just to feed the tiny bridge branch.
-    salted = add_salt(bands, cfg, big_rows=big_rows)
+    # re-executed filter map is cheap vector work over pinned signature
+    # blocks, far cheaper than materializing the exploded band relation.
+    salted = bands.map_batches(filter_and_salt, batch_format="pyarrow")
     max_n = cfg.max_bucket_pairs
     n_parts = cfg.num_partitions * 4
 
@@ -239,15 +339,33 @@ def candidate_pairs(bands: rd.Dataset, cfg: PipelineConfig | None = None) -> rd.
 
     pairs = parted.groupby("_p").map_groups(emit_partition,
                                             batch_format="pandas")
-    if not big_rows:
+    if not any_salted:
         return pairs
     return pairs.union(bridge_edges(salted))
 
 
-def dedup_edges(edges: rd.Dataset) -> rd.Dataset:
-    """Collapse multi-band duplicates of the same pair (one groupby)."""
-    return edges.select_columns(["src", "dst"]).groupby(["src", "dst"]) \
-        .aggregate(Count(alias_name="_nb")).select_columns(["src", "dst"])
+def dedup_edges(edges: rd.Dataset, num_partitions: int = 16) -> rd.Dataset:
+    """Collapse multi-band duplicates of the same pair: hash-partition on
+    the pair key (one int32 shuffle key) and ``drop_duplicates`` per
+    partition — cheaper than a sort-based groupby over two string columns
+    (round-1: ~9 s for a 1M-pair relation emitting 50k rows)."""
+    n_parts = num_partitions * 4
+
+    def part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_p", pa.array([], pa.int32()))
+        src = t.column("src").combine_chunks().to_numpy(zero_copy_only=False)
+        dst = t.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
+        h = stable_hash(src) * np.uint64(31) + stable_hash(dst)
+        return t.append_column(
+            "_p", pa.array((h % np.uint64(n_parts)).astype(np.int32)))
+
+    def drop_dups(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["src", "dst"])[["src", "dst"]]
+
+    return edges.select_columns(["src", "dst"]).map_batches(
+        part, batch_format="pyarrow").groupby("_p").map_groups(
+        drop_dups, batch_format="pandas")
 
 
 def truncation_metrics(bands: rd.Dataset, cfg: PipelineConfig | None = None) -> dict:
@@ -275,43 +393,48 @@ def verify_pairs(edges: rd.Dataset, signatures: rd.Dataset,
 
     n_sigs = signatures.count()
     if n_sigs <= broadcast_limit:
-        ids: list[str] = []
-        mats: list[np.ndarray] = []
-        for b in signatures.iter_batches(batch_format="pyarrow"):
-            fids = b.column("file_id").to_pylist()
-            ids.extend(fids)
-            mats.append(np.asarray(
-                b.column("sig").combine_chunks().flatten()).reshape(len(fids), -1))
-        mat = np.concatenate(mats) if mats else np.zeros((0, cfg.num_perms), np.uint64)
+        # parallel object-store fetch (to_arrow_refs), not a serial
+        # iter_batches stream through the driver (round-1: the driver-side
+        # signature fetch was Amdahl serial work — ~320 MB at 314k sigs)
+        blocks = ray.get(signatures.select_columns(
+            ["file_id", "sig"]).to_arrow_refs())
+        ids_arrays = [b.column("file_id").combine_chunks() for b in blocks
+                      if b.num_rows]
+        mats = [np.asarray(b.column("sig").combine_chunks().flatten())
+                .reshape(b.num_rows, -1) for b in blocks if b.num_rows]
+        ids = pa.concat_arrays(
+            [a.cast(pa.string()) for a in ids_arrays]).to_numpy(
+            zero_copy_only=False) if ids_arrays else np.array([], object)
+        mat = np.concatenate(mats) if mats else np.zeros(
+            (0, cfg.num_perms), np.uint64)
         ref = ray.put((ids, mat))
         thr = cfg.verify_threshold
 
         def verify_fn(batch: pa.Table) -> pa.Table:
-            # id→row index + signature matrix cached once per worker process
+            # id index + signature matrix cached once per worker process
             # (broadcast object fetched once); per batch one vectorized
-            # row-gather + elementwise compare — no per-edge Python.
+            # indexer pass + one row-gather compare — no per-edge Python.
             state = _VERIFY_CACHE.get(ref.hex())
             if state is None:
                 ids_, mat_ = ray.get(ref)
-                state = ({f: i for i, f in enumerate(ids_)}, mat_)
+                state = (pd.Index(ids_), mat_)
                 _VERIFY_CACHE.clear()   # one live verify set per worker
                 _VERIFY_CACHE[ref.hex()] = state
             idx, m = state
-            srcs = batch.column("src").to_pylist()
-            dsts = batch.column("dst").to_pylist()
-            n = len(srcs)
-            ia = np.empty(n, dtype=np.int64)
-            ib = np.empty(n, dtype=np.int64)
-            anchor = np.zeros(n, dtype=bool)
-            for i, (s, d) in enumerate(zip(srcs, dsts)):
-                a = idx.get(s, -1)
-                b = idx.get(d, -1)
-                if a < 0 or b < 0:   # anchor / unknown side: keep
-                    anchor[i] = True
-                    a = b = 0
-                ia[i] = a; ib[i] = b
-            est = (m[ia] == m[ib]).mean(axis=1) if n else np.zeros(0)
-            est[anchor] = 1.0
+            n = batch.num_rows
+            if n == 0:
+                return batch.append_column("jaccard_est",
+                                           pa.array([], pa.float64()))
+            srcs = batch.column("src").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            dsts = batch.column("dst").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            ia = idx.get_indexer(srcs)
+            ib = idx.get_indexer(dsts)
+            unknown = (ia < 0) | (ib < 0)   # endpoints with no signature
+            est = (m[np.clip(ia, 0, None)] == m[np.clip(ib, 0, None)]) \
+                .mean(axis=1)
+            est[unknown] = 1.0
             batch = batch.append_column("jaccard_est", pa.array(est))
             return batch.filter(pa.array(est >= thr))
 

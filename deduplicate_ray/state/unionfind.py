@@ -128,8 +128,16 @@ def connected_components(edges: rd.Dataset, *,
             {"node": pa.array([], pa.string()), "label": pa.array([], pa.string())}))
 
     if n_edges <= driver_limit:
-        rows = edges.take_all()
-        mapping = driver_union_find([(r["src"], r["dst"]) for r in rows])
+        # parallel arrow-block fetch: take_all() over pandas-backed blocks
+        # (map_groups lineage) converts row-by-row — measured ~35 s for a
+        # 47k-row edge table vs 0.1 s via to_arrow_refs
+        import ray as _ray
+        tbl = pa.concat_tables([
+            b.select(["src", "dst"]) for b in
+            _ray.get(edges.to_arrow_refs()) if b.num_rows])  \
+            if n_edges else pa.table({"src": [], "dst": []})
+        mapping = driver_union_find(list(zip(
+            tbl.column("src").to_pylist(), tbl.column("dst").to_pylist())))
         labels = rd.from_arrow(pa.table({
             "node": list(mapping.keys()), "label": list(mapping.values())}))
         return _drop_anchor_rows(labels)
