@@ -34,6 +34,20 @@ from deduplicate_ray.state import checkpoint, unionfind
 logger = logging.getLogger(__name__)
 
 
+def _lap(tag: str, _state: dict = {}) -> None:
+    """Opt-in phase timing (``DEDUP_RAY_PHASES=1``): logs wall-time since
+    the previous lap so scaling runs can attribute non-scaling seconds."""
+    import os
+    import time
+    if os.environ.get("DEDUP_RAY_PHASES") != "1":
+        return
+    now = time.perf_counter()
+    prev = _state.get("t")
+    _state["t"] = now
+    if prev is not None:
+        print(f"[dedup-phase] {tag}: {now - prev:.2f}s", flush=True)
+
+
 def _pin(ds_factory, cfg: PipelineConfig, stage: str) -> rd.Dataset:
     if cfg.checkpoint_dir:
         return checkpoint.checkpointed(
@@ -62,10 +76,13 @@ def near_dup_clusters(corpus: rd.Dataset, cfg: PipelineConfig | None = None,
     # scan — all read the pinned blocks instead of re-running
     # read+sha256 over the corpus (round-1 verdict: the lazy lineage
     # re-hashed up to 3x). Checkpoints stay narrow (no content on disk).
+    _lap("start")
     hashed = exact.hash_corpus(corpus, cfg, keep_content=True).materialize()
+    _lap("hash")
     narrow = _pin(lambda: hashed.map_batches(
         lambda t: t.select(["file_id", "sha256"]), batch_format="pyarrow"),
         cfg, "hashes")
+    _lap("narrow")
 
     # Driver fast path for the narrow METADATA relation (the analog of the
     # union-find driver path): when (file_id, sha256) fits the driver,
@@ -115,19 +132,30 @@ def near_dup_clusters(corpus: rd.Dataset, cfg: PipelineConfig | None = None,
     else:
         reps = hashed
 
+    _lap("meta+reps")
     sigs = _pin(lambda: minhash.sign_corpus(reps, cfg), cfg, "signatures")
-    # bands stay lazy without a checkpoint dir: explode is a cheap vector op
-    # over the pinned signatures, not worth an object-store round trip
-    if cfg.checkpoint_dir:
-        bands = _pin(lambda: minhash.explode_bands(sigs, cfg), cfg, "bands")
-    else:
-        bands = minhash.explode_bands(sigs, cfg)
+    _lap("sign")
+
+    # the band-table checkpoint is part of the north-rule artifact set
+    # (signatures, band tables, union-find state all land on Parquet with
+    # manifests); the fused edge path below does not consume it, but a
+    # resumed or externally-audited run does
+    bands_ck = _pin(lambda: minhash.explode_bands(sigs, cfg), cfg, "bands") \
+        if cfg.checkpoint_dir else None
 
     def _edges():
-        # verify BEFORE the global pair dedup: verification is a cheap
-        # vectorized per-row filter, while dedup is a shuffle — shuffling
-        # only the survivors is far cheaper on candidate-storm inputs.
-        e = lsh.candidate_pairs(bands, cfg)
+        # fused fast path (one narrow int shuffle, inline verify) while the
+        # signature relation fits the broadcast budget; else the modular
+        # plan: bands stay lazy (explode is a cheap vector op over the
+        # pinned signatures), verify BEFORE the global pair dedup so only
+        # survivors ride the dedup shuffle.
+        fast = lsh.fused_candidate_edges(sigs, cfg)
+        if fast is not None:
+            return fast
+        bands = bands_ck if bands_ck is not None \
+            else minhash.explode_bands(sigs, cfg)
+        e = lsh.candidate_pairs(bands, cfg,
+                                n_rows_hint=sigs.count() * cfg.lsh_bands)
         return lsh.dedup_edges(lsh.verify_pairs(e, sigs, cfg))
 
     # edges are always pinned (parquet checkpoint or object-store
@@ -146,9 +174,11 @@ def near_dup_clusters(corpus: rd.Dataset, cfg: PipelineConfig | None = None,
         edges = edges.select_columns(["src", "dst"]).union(
             sub.select_columns(["src", "dst"])).materialize()
 
+    _lap("edges")
     labels = unionfind.connected_components(
         edges, num_partitions=cfg.num_partitions)
     rep_clusters = unionfind.clusters_table(labels)
+    _lap("unionfind")
 
     if not collapse_exact:
         return rep_clusters

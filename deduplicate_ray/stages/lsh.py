@@ -226,7 +226,51 @@ def bridge_edges(salted: rd.Dataset) -> rd.Dataset:
         star, batch_format="pandas")
 
 
-def candidate_pairs(bands: rd.Dataset, cfg: PipelineConfig | None = None) -> rd.Dataset:
+# max band rows pulled to the driver for the single-threaded census
+# (~8 B/row ≈ 400 MB at the limit); past this the distributed
+# sort-shuffle census runs instead
+_DRIVER_CENSUS_LIMIT = 50_000_000
+
+
+def _census_keys(bands: rd.Dataset, cfg: PipelineConfig,
+                 n_rows_hint: int | None = None
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted ``(keys64, counts)`` of every multi-member bucket (n >= 2).
+
+    Driver path (≤ :data:`_DRIVER_CENSUS_LIMIT` band rows): project the
+    mixed 64-bit bucket key per batch (distributed, vectorized), fetch the
+    int columns in parallel and count with one ``np.unique`` — no
+    all-to-all. Measured ~4 s vs ~30 s for the sort-based shuffle census
+    at 10M band rows / 32 cpus; at cluster scale the distributed census
+    takes over past the limit.
+    """
+    n_rows = n_rows_hint if n_rows_hint is not None else bands.count()
+    if n_rows <= _DRIVER_CENSUS_LIMIT:
+        def proj(t: pa.Table) -> pa.Table:
+            return pa.table({"k": pa.array(_mix_keys(
+                _int_col(t, "band_hash").astype(np.int64),
+                _int_col(t, "band_id").astype(np.int64)))})
+
+        blocks = ray.get(bands.select_columns(
+            ["band_id", "band_hash"]).map_batches(
+            proj, batch_format="pyarrow").to_arrow_refs())
+        arrs = [b.column("k").combine_chunks().to_numpy()
+                for b in blocks if b.num_rows]
+        if not arrs:
+            return np.array([], np.int64), np.array([], np.int64)
+        uk, cnt = np.unique(np.concatenate(arrs), return_counts=True)
+        multi = cnt >= 2
+        return uk[multi], cnt[multi].astype(np.int64)
+
+    df = bucket_census(bands, cfg)
+    keys = _mix_keys(df["band_hash"].to_numpy(dtype=np.int64),
+                     df["band_id"].to_numpy(dtype=np.int64))
+    order = np.argsort(keys)
+    return keys[order], df["n"].to_numpy(dtype=np.int64)[order]
+
+
+def candidate_pairs(bands: rd.Dataset, cfg: PipelineConfig | None = None,
+                    n_rows_hint: int | None = None) -> rd.Dataset:
     """Exploded band rows → deduped candidate edge relation ``(src, dst)``
     with ``src < dst``.
 
@@ -239,54 +283,62 @@ def candidate_pairs(bands: rd.Dataset, cfg: PipelineConfig | None = None) -> rd.
     500k buckets ≈ 70 s of pure overhead; this plan makes it
     O(partitions).) Salted sub-buckets are re-linked by
     :func:`bridge_edges` — real pairs, verified like any other.
+
+    ``n_rows_hint``: known band-row count (callers with pinned signatures
+    pass ``n_sigs * lsh_bands``) — saves a counting pass over the lazy
+    band lineage when choosing the census path.
     """
     cfg = cfg or PipelineConfig()
-    census = bucket_census(bands, cfg)
-    any_salted = bool(len(census)) and bool(
-        (census["n"] > cfg.salt_threshold).any())
+    keys64, counts = _census_keys(bands, cfg, n_rows_hint)
+    any_salted = bool((counts > cfg.salt_threshold).any())
     if any_salted:
-        hot = census[census["n"] > cfg.salt_threshold]
+        hot_n = counts[counts > cfg.salt_threshold]
         logger.info("lsh: salting %d oversized band buckets (max n=%d)",
-                    len(hot), int(hot["n"].max()))
+                    len(hot_n), int(hot_n.max()))
     # Broadcasting the full multi-bucket census lets every task drop
     # singleton rows before the pair shuffle. Past the broadcast budget
     # (census keys grow with the corpus) fall back to broadcasting only
     # the oversized keys: salting still works, singletons ride the
     # shuffle and are dropped inside emit_partition as before.
-    filter_singletons = len(census) <= _CENSUS_BROADCAST_LIMIT
-    kdf = census if filter_singletons else \
-        census[census["n"] > cfg.salt_threshold]
-    kdf = kdf.copy()
-    kdf["_k"] = np.where(
-        kdf["n"] > cfg.salt_threshold,
-        np.maximum(2, -(-kdf["n"] // cfg.salt_threshold)), 0).astype(np.int64)
-    # mixed 64-bit bucket key (same mix as _partition_col): one int index
-    # lookup per row instead of a two-column merge against the census
-    # table on every batch
-    kdf["_key"] = _mix_keys(kdf["band_hash"].to_numpy(dtype=np.int64),
-                            kdf["band_id"].to_numpy(dtype=np.int64))
-    kdf = kdf.drop_duplicates(subset=["_key"])
-    ref = ray.put((kdf["_key"].to_numpy(), kdf["_k"].to_numpy()))
+    filter_singletons = len(keys64) <= _CENSUS_BROADCAST_LIMIT
+    ks_all = np.where(counts > cfg.salt_threshold,
+                      np.maximum(2, -(-counts // cfg.salt_threshold)),
+                      0).astype(np.int64)
+    if filter_singletons:
+        ref = ray.put((keys64, ks_all))
+    else:
+        hot = counts > cfg.salt_threshold
+        ref = ray.put((keys64[hot], ks_all[hot]))
 
     def filter_and_salt(batch: pa.Table) -> pa.Table:
         """Drop singleton-bucket rows (the census is the authority) and
-        assign salts — one cached-index lookup serves both decisions."""
+        assign salts — one cached binary search serves both decisions.
+        The census arrays are warmed on first touch (plasma mappings
+        page-fault badly under random access)."""
         state = _VERIFY_CACHE.get(ref.hex())
         if state is None:
             keys_, ks_ = ray.get(ref)
-            state = (pd.Index(keys_), ks_)
+            if len(keys_):
+                keys_.sum(); ks_.sum()   # sequential fault-in
             if len(_VERIFY_CACHE) > 4:
                 _VERIFY_CACHE.clear()
-            _VERIFY_CACHE[ref.hex()] = state
-        idx, ks = state
+            state = _VERIFY_CACHE[ref.hex()] = (keys_, ks_)
+        keys_, ks_ = state
         bkeys = _mix_keys(_int_col(batch, "band_hash").astype(np.int64),
                           _int_col(batch, "band_id").astype(np.int64))
-        pos = idx.get_indexer(bkeys)
+        if len(keys_):
+            pos = np.searchsorted(keys_, bkeys)
+            pos = np.clip(pos, 0, len(keys_) - 1)
+            hit = keys_[pos] == bkeys
+        else:
+            pos = np.zeros(len(bkeys), np.int64)
+            hit = np.zeros(len(bkeys), bool)
         if filter_singletons:
-            live = pos >= 0
-            batch = batch.filter(pa.array(live))
-            pos = pos[live]
-        k = np.where(pos >= 0, ks[np.clip(pos, 0, None)], 0)
+            batch = batch.filter(pa.array(hit))
+            pos = pos[hit]
+            k = ks_[pos] if len(keys_) else np.zeros(0, np.int64)
+        else:
+            k = np.where(hit, ks_[pos], 0)
         salts = np.zeros(batch.num_rows, dtype=np.int32)
         hot_rows = k > 1
         if hot_rows.any():
@@ -310,24 +362,41 @@ def candidate_pairs(bands: rd.Dataset, cfg: PipelineConfig | None = None) -> rd.
         batch_format="pyarrow")
 
     def emit_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # Vectorized bucket grouping: one lexsort on the combined 64-bit
+        # (bucket, salt) key + run-length boundaries. Size-2 buckets (the
+        # vast majority) emit their single pair with pure array ops; only
+        # buckets of 3+ members enter the Python loop. (A 64-bit mix
+        # collision would merge two buckets' candidates — harmless:
+        # spurious pairs are dropped by MinHash verification downstream.)
         keys = ["band_id", "band_hash", "salt"]
         g = g.drop_duplicates(subset=keys + ["file_id"])
-        sizes = g.groupby(keys, sort=False)["file_id"].transform("size")
+        bk = _mix_keys(g["band_hash"].to_numpy(dtype=np.int64),
+                       g["band_id"].to_numpy(dtype=np.int64))
+        bk = (bk.view(np.uint64)
+              ^ g["salt"].to_numpy(dtype=np.int64).view(np.uint64)
+              * np.uint64(0x165667B19E3779F9)).view(np.int64)
+        fids = g["file_id"].to_numpy()
+        order = np.lexsort((fids, bk))
+        k_s, f_s = bk[order], fids[order]
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        lens = np.diff(np.r_[starts, len(k_s)])
         srcs: list[np.ndarray] = []
         dsts: list[np.ndarray] = []
-        multi = g[sizes >= 2]
-        for _, sub in multi.groupby(keys, sort=False):
-            fids = np.sort(sub["file_id"].to_numpy())
-            n = len(fids)
+        two = starts[lens == 2]
+        if len(two):
+            srcs.append(f_s[two]); dsts.append(f_s[two + 1])
+        big = lens >= 3
+        for st, n in zip(starts[big], lens[big]):
+            bucket = f_s[st:st + n]          # sorted within the bucket
             if n <= max_n:
                 ii, jj = np.triu_indices(n, k=1)
-                srcs.append(fids[ii]); dsts.append(fids[jj])
+                srcs.append(bucket[ii]); dsts.append(bucket[jj])
             else:
                 # star to representative + sorted-adjacent chain: O(n)
                 # edges, connectivity preserved; pair-level completeness
                 # truncated (counted by truncation_metrics).
-                srcs.append(np.full(n - 1, fids[0])); dsts.append(fids[1:])
-                srcs.append(fids[1:-1]); dsts.append(fids[2:])
+                srcs.append(np.full(n - 1, bucket[0])); dsts.append(bucket[1:])
+                srcs.append(bucket[1:-1]); dsts.append(bucket[2:])
         if not srcs:
             return pd.DataFrame({"src": [], "dst": []}, dtype=str)
         out = pd.DataFrame({"src": np.concatenate(srcs),
@@ -395,42 +464,64 @@ def verify_pairs(edges: rd.Dataset, signatures: rd.Dataset,
     if n_sigs <= broadcast_limit:
         # parallel object-store fetch (to_arrow_refs), not a serial
         # iter_batches stream through the driver (round-1: the driver-side
-        # signature fetch was Amdahl serial work — ~320 MB at 314k sigs)
+        # signature fetch was Amdahl serial work — ~320 MB at 314k sigs).
+        # ids stay an ARROW array end to end: building a Python-object id
+        # array + pd.Index cost ~6 s of driver serial time at 320k sigs;
+        # pc.index_in is the same lookup in C++ with zero Python strings.
         blocks = ray.get(signatures.select_columns(
             ["file_id", "sig"]).to_arrow_refs())
         ids_arrays = [b.column("file_id").combine_chunks() for b in blocks
                       if b.num_rows]
         mats = [np.asarray(b.column("sig").combine_chunks().flatten())
                 .reshape(b.num_rows, -1) for b in blocks if b.num_rows]
-        ids = pa.concat_arrays(
-            [a.cast(pa.string()) for a in ids_arrays]).to_numpy(
-            zero_copy_only=False) if ids_arrays else np.array([], object)
+        ids = pa.concat_arrays(ids_arrays) if ids_arrays \
+            else pa.array([], pa.string())
         mat = np.concatenate(mats) if mats else np.zeros(
             (0, cfg.num_perms), np.uint64)
+        # xor-fold each 64-bit minhash component to 16 bits for the
+        # broadcast compare: per-component equality gains a 2^-16 false
+        # positive (inflates jaccard_est by ~1.5e-5 in expectation —
+        # far below any threshold granularity) and the compare's memory
+        # traffic falls 4x. The gather-compare kernel is DRAM-bound;
+        # a 320k x 128 uint16 matrix (~80 MB) gathers mostly from cache
+        # where the uint64 original saturated the memory bus (measured
+        # 15 s vs 0.3 s per 65k-pair batch under 16-way concurrency).
+        mat = ((mat ^ (mat >> np.uint64(16)) ^ (mat >> np.uint64(32))
+                ^ (mat >> np.uint64(48)))
+               & np.uint64(0xFFFF)).astype(np.uint16)
         ref = ray.put((ids, mat))
         thr = cfg.verify_threshold
 
         def verify_fn(batch: pa.Table) -> pa.Table:
-            # id index + signature matrix cached once per worker process
-            # (broadcast object fetched once); per batch one vectorized
-            # indexer pass + one row-gather compare — no per-edge Python.
+            # signature matrix cached once per worker process (broadcast
+            # object fetched once). The plasma-backed zero-copy array is
+            # WARMED sequentially on first touch: cold random gathers over
+            # the shared mapping page-fault one page per access (measured
+            # 17 s/batch vs 0.2 s warm for a 320 MB matrix).
+            import pyarrow.compute as _pc
             state = _VERIFY_CACHE.get(ref.hex())
             if state is None:
                 ids_, mat_ = ray.get(ref)
-                state = (pd.Index(ids_), mat_)
+                # copy the (folded, ~80 MB) matrix out of the plasma
+                # mapping into the worker heap: random row-gathers
+                # against the shared zero-copy mapping page-fault badly;
+                # the sequential copy is cheap and amortizes across all
+                # of this worker's batches
+                mat_ = np.array(mat_, copy=True)
+                state = (ids_, mat_)
                 _VERIFY_CACHE.clear()   # one live verify set per worker
                 _VERIFY_CACHE[ref.hex()] = state
-            idx, m = state
+            ids_, m = state
             n = batch.num_rows
             if n == 0:
                 return batch.append_column("jaccard_est",
                                            pa.array([], pa.float64()))
-            srcs = batch.column("src").combine_chunks().to_numpy(
-                zero_copy_only=False)
-            dsts = batch.column("dst").combine_chunks().to_numpy(
-                zero_copy_only=False)
-            ia = idx.get_indexer(srcs)
-            ib = idx.get_indexer(dsts)
+            ia = _pc.fill_null(_pc.index_in(
+                batch.column("src").combine_chunks(), value_set=ids_), -1) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            ib = _pc.fill_null(_pc.index_in(
+                batch.column("dst").combine_chunks(), value_set=ids_), -1) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
             unknown = (ia < 0) | (ib < 0)   # endpoints with no signature
             est = (m[np.clip(ia, 0, None)] == m[np.clip(ib, 0, None)]) \
                 .mean(axis=1)
@@ -455,8 +546,13 @@ def verify_pairs(edges: rd.Dataset, signatures: rd.Dataset,
             nrows = t.num_rows
             flat = np.asarray(t.column("sig").combine_chunks().flatten(),
                               dtype=np.uint64)
+            # same 16-bit xor-fold as the broadcast path: 4x less join
+            # shuffle volume, jaccard_est bias <= 1.5e-5
+            flat = ((flat ^ (flat >> np.uint64(16))
+                     ^ (flat >> np.uint64(32)) ^ (flat >> np.uint64(48)))
+                    & np.uint64(0xFFFF)).astype(np.uint16)
             buf = flat.tobytes()
-            w = cfg.num_perms * 8
+            w = cfg.num_perms * 2
             blobs = [buf[i * w:(i + 1) * w] for i in range(nrows)]
             return pa.table({side: t.column("file_id"),
                              f"sig_{side}": pa.array(blobs, pa.binary())})
@@ -479,7 +575,7 @@ def verify_pairs(edges: rd.Dataset, signatures: rd.Dataset,
         est = np.ones(n, dtype=np.float64)
 
         import pyarrow.compute as pc
-        zero_blob = b"\x00" * (perms * 8)
+        zero_blob = b"\x00" * (perms * 2)
 
         def to_mat(col) -> tuple[np.ndarray, np.ndarray]:
             # binary-blob column → (n, perms) matrix + null mask
@@ -487,9 +583,9 @@ def verify_pairs(edges: rd.Dataset, signatures: rd.Dataset,
             valid = np.asarray(pc.is_valid(arr), dtype=bool)
             blobs = arr.to_pylist()
             joined_buf = b"".join(
-                (b if b is not None and len(b) == perms * 8 else zero_blob)
+                (b if b is not None and len(b) == perms * 2 else zero_blob)
                 for b in blobs)
-            m = np.frombuffer(joined_buf, dtype=np.uint64).reshape(n, perms)
+            m = np.frombuffer(joined_buf, dtype=np.uint16).reshape(n, perms)
             return m, valid
 
         ma, va = to_mat(batch.column("sig_src"))
@@ -502,3 +598,256 @@ def verify_pairs(edges: rd.Dataset, signatures: rd.Dataset,
 
     return joined.map_batches(verify_joined, batch_format="pyarrow",
                               batch_size=65536)
+
+
+def _fold16(mat: np.ndarray) -> np.ndarray:
+    """xor-fold a uint64 signature matrix to uint16 (see verify_pairs)."""
+    return ((mat ^ (mat >> np.uint64(16)) ^ (mat >> np.uint64(32))
+             ^ (mat >> np.uint64(48))) & np.uint64(0xFFFF)).astype(np.uint16)
+
+
+def fused_candidate_edges(sigs: rd.Dataset, cfg: PipelineConfig | None = None,
+                          broadcast_limit: int = 500_000
+                          ) -> rd.Dataset | None:
+    """Fused LSH candidate+verify fast path: pinned signatures →
+    verified, deduped ``(src, dst, jaccard_est)`` edges in ONE narrow
+    integer shuffle.
+
+    Applies when the signature relation fits the broadcast budget
+    (``n_sigs <= broadcast_limit``); returns ``None`` past it and callers
+    fall back to the modular distributed plan (``candidate_pairs →
+    verify_pairs → dedup_edges``), which carries no driver-resident state.
+
+    Why fused: the modular plan moves file_id STRINGS through three
+    all-to-all barriers (census, pair emit, edge dedup) and re-fetches
+    signatures for verification. On a bandwidth-bound box that's ~10x the
+    necessary traffic. Here every doc becomes an int32 index into the
+    lexicographically sorted id array (so index order == string order and
+    min-label / src<dst semantics are preserved exactly), the census is a
+    driver ``np.unique`` over the band-key matrix (bounded by the same
+    broadcast budget), and the single shuffle carries only
+    ``(bucket_key:int64, salt:int32, idx:int32)`` for rows of multi-member
+    buckets (~20 B/row). Pair emission, MinHash verification (same 16-bit
+    fold as verify_pairs) and partition-local dedup run inside the SAME
+    map_groups task against the broadcast folded matrix; only survivor
+    edges (plus one tiny sub-bucket-minimum row per salted sub-bucket,
+    bridged and verified on the driver) leave the task.
+
+    Semantics are identical to the modular plan: same bucket membership,
+    same salting threshold and sub-bucket bridging (ADVICE round 1: bridges
+    are real verified edges), same bounded star+chain expansion for buckets
+    past ``max_bucket_pairs``, same verify threshold.
+    """
+    cfg = cfg or PipelineConfig()
+    n_sigs = sigs.count()
+    if n_sigs > broadcast_limit:
+        return None
+
+    empty = pa.table({"src": pa.array([], pa.string()),
+                      "dst": pa.array([], pa.string()),
+                      "jaccard_est": pa.array([], pa.float64())})
+    if n_sigs == 0:
+        return rd.from_arrow(empty)
+
+    from deduplicate_ray.stages import minhash as _mh
+    import pyarrow.compute as pc
+
+    b_, r_ = cfg.lsh_bands, cfg.lsh_rows
+    # per-block processing: the full uint64 signature matrix (8 B/perm)
+    # never materializes on the driver — only the band-key matrix and the
+    # 16-bit fold (each 1/4 the size), built block-by-block from the
+    # zero-copy plasma views
+    blocks = [b for b in ray.get(sigs.select_columns(
+        ["file_id", "sig"]).to_arrow_refs()) if b.num_rows]
+    ids_arr = pa.concat_arrays(
+        [b.column("file_id").combine_chunks() for b in blocks])
+    bh_parts, fold_parts = [], []
+    for blk in blocks:
+        m = np.asarray(blk.column("sig").combine_chunks().flatten()) \
+            .reshape(blk.num_rows, -1).astype(np.uint64, copy=False)
+        bh_parts.append(_mh.band_hashes(m, b_, r_))
+        fold_parts.append(_fold16(m))
+    bh_all = np.concatenate(bh_parts)            # (n_sigs, bands) int64
+    fold = np.concatenate(fold_parts)
+    del bh_parts, fold_parts
+    order = pc.sort_indices(ids_arr)
+    ids_sorted = ids_arr.take(order)
+    fold = fold[np.asarray(order)]               # 2 B/perm gather only
+
+    uk, cnt = np.unique(bh_all, return_counts=True)
+    multi = cnt >= 2
+    census_keys = uk[multi]
+    census_n = cnt[multi]
+    ks = np.where(census_n > cfg.salt_threshold,
+                  np.maximum(2, -(-census_n // cfg.salt_threshold)),
+                  0).astype(np.int64)
+    if (ks > 0).any():
+        logger.info("lsh-fused: salting %d oversized band buckets (max n=%d)",
+                    int((ks > 0).sum()), int(census_n.max()))
+    del bh_all
+
+    map_ref = ray.put((ids_sorted, census_keys, ks))
+    mat_ref = ray.put(fold)
+    thr = cfg.verify_threshold
+    max_n = cfg.max_bucket_pairs
+    n_parts = cfg.num_partitions * 4
+    salt_mix = np.uint64(0x165667B19E3779F9)
+
+    def project(batch: pa.Table) -> pa.Table:
+        """sig rows → (gkey, key, salt, idx, _p) rows of multi buckets."""
+        ck = "fusedmap:" + map_ref.hex()
+        state = _VERIFY_CACHE.get(ck)
+        if state is None:
+            ids_, keys_, ks_ = ray.get(map_ref)
+            if len(keys_):
+                keys_.sum(); ks_.sum()      # fault-in
+            if len(_VERIFY_CACHE) > 4:
+                _VERIFY_CACHE.clear()
+            state = _VERIFY_CACHE[ck] = (ids_, keys_, ks_)
+        ids_, keys_, ks_ = state
+        n = batch.num_rows
+        out_empty = pa.table({"gkey": pa.array([], pa.int64()),
+                              "key": pa.array([], pa.int64()),
+                              "salt": pa.array([], pa.int32()),
+                              "idx": pa.array([], pa.int32()),
+                              "_p": pa.array([], pa.int32())})
+        if n == 0 or not len(keys_):
+            return out_empty
+        sig = np.asarray(batch.column("sig").combine_chunks().flatten()) \
+            .reshape(n, b_ * r_).astype(np.uint64, copy=False)
+        keys = _mh.band_hashes(sig, b_, r_).ravel()
+        idx = pc.index_in(batch.column("file_id").combine_chunks(),
+                          value_set=ids_).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        idxr = np.repeat(idx, b_)
+        pos = np.clip(np.searchsorted(keys_, keys), 0, len(keys_) - 1)
+        hit = keys_[pos] == keys
+        keys, idxr, pos = keys[hit], idxr[hit], pos[hit]
+        if not len(keys):
+            return out_empty
+        k = ks_[pos]
+        salts = np.zeros(len(keys), dtype=np.int32)
+        hot = k > 1
+        if hot.any():
+            h = _mh._mix64(idxr[hot].astype(np.uint64))
+            salts[hot] = (1 + (h % k[hot].astype(np.uint64))).astype(np.int32)
+        gkey = (keys.view(np.uint64)
+                ^ salts.astype(np.uint64) * salt_mix).view(np.int64)
+        part = (gkey.view(np.uint64) % np.uint64(n_parts)).astype(np.int32)
+        return pa.table({"gkey": pa.array(gkey),
+                         "key": pa.array(keys),
+                         "salt": pa.array(salts),
+                         "idx": pa.array(idxr.astype(np.int32)),
+                         "_p": pa.array(part)})
+
+    def emit_verify(g: pd.DataFrame) -> pd.DataFrame:
+        """One partition (many whole buckets) → verified int edges +
+        sub-bucket-minimum marker rows (dst == -1, bkey = bucket key)."""
+        ck = "fusedmat:" + mat_ref.hex()
+        m = _VERIFY_CACHE.get(ck)
+        if m is None:
+            m = np.array(ray.get(mat_ref), copy=True)  # heap copy: plasma
+            if len(_VERIFY_CACHE) > 4:                 # gathers are slow
+                _VERIFY_CACHE.clear()
+            _VERIFY_CACHE[ck] = m
+        gkey = g["gkey"].to_numpy()
+        key = g["key"].to_numpy()
+        salt = g["salt"].to_numpy()
+        idx = g["idx"].to_numpy().astype(np.int64)
+        o = np.lexsort((idx, gkey))
+        gkey, key, salt, idx = gkey[o], key[o], salt[o], idx[o]
+        starts = np.flatnonzero(np.r_[True, gkey[1:] != gkey[:-1]])
+        lens = np.diff(np.r_[starts, len(gkey)])
+        srcs: list[np.ndarray] = []
+        dsts: list[np.ndarray] = []
+        two = starts[lens == 2]
+        if len(two):
+            srcs.append(idx[two]); dsts.append(idx[two + 1])
+        big = lens >= 3
+        for st, n in zip(starts[big], lens[big]):
+            bucket = idx[st:st + n]
+            if n <= max_n:
+                ii, jj = np.triu_indices(n, k=1)
+                srcs.append(bucket[ii]); dsts.append(bucket[jj])
+            else:
+                srcs.append(np.full(n - 1, bucket[0]))
+                dsts.append(bucket[1:])
+                srcs.append(bucket[1:-1]); dsts.append(bucket[2:])
+        cols = {"src": np.array([], np.int64), "dst": np.array([], np.int64),
+                "jaccard_est": np.array([], np.float64),
+                "bkey": np.array([], np.int64)}
+        frames = []
+        if srcs:
+            src = np.concatenate(srcs)
+            dst = np.concatenate(dsts)
+            # partition-local dedup on the packed 64-bit pair key
+            packed = (src.astype(np.uint64) << np.uint64(32)) \
+                | dst.astype(np.uint64)
+            _, first = np.unique(packed, return_index=True)
+            src, dst = src[first], dst[first]
+            est = (m[src] == m[dst]).mean(axis=1)
+            keep = est >= thr
+            frames.append(pd.DataFrame({
+                "src": src[keep], "dst": dst[keep],
+                "jaccard_est": est[keep],
+                "bkey": np.zeros(int(keep.sum()), np.int64)}))
+        salted_start = starts[salt[starts] > 0]
+        if len(salted_start):
+            frames.append(pd.DataFrame({
+                "src": idx[salted_start], "dst": np.full(
+                    len(salted_start), -1, np.int64),
+                "jaccard_est": np.zeros(len(salted_start), np.float64),
+                "bkey": key[salted_start]}))
+        if not frames:
+            return pd.DataFrame(cols)
+        return pd.concat(frames, ignore_index=True)
+
+    # large project batches: pc.index_in rebuilds its value-set hash table
+    # per call, so tiny batches would pay the O(n_sigs) build hundreds of
+    # times (307 tasks x ~0.2 s at 314k sigs with the 1024-row default)
+    parts = sigs.map_batches(project, batch_format="pyarrow",
+                             batch_size=65536) \
+        .groupby("_p").map_groups(emit_verify, batch_format="pandas")
+    out_blocks = [b for b in ray.get(parts.to_arrow_refs()) if b.num_rows]
+    if not out_blocks:
+        return rd.from_arrow(empty)
+    tbl = pa.concat_tables([b.select(["src", "dst", "jaccard_est", "bkey"])
+                            for b in out_blocks])
+    src = tbl.column("src").combine_chunks().to_numpy().astype(np.int64)
+    dst = tbl.column("dst").combine_chunks().to_numpy().astype(np.int64)
+    est = tbl.column("jaccard_est").combine_chunks().to_numpy()
+    bkey = tbl.column("bkey").combine_chunks().to_numpy().astype(np.int64)
+
+    is_bridge = dst < 0
+    e_src, e_dst, e_est = src[~is_bridge], dst[~is_bridge], est[~is_bridge]
+    if is_bridge.any():
+        # star each bucket's sub-minima to its global minimum; verify the
+        # bridges like any other candidate (driver-side: one row per
+        # sub-bucket, tiny by construction)
+        bmin, bky = src[is_bridge], bkey[is_bridge]
+        o = np.lexsort((bmin, bky))
+        bmin, bky = bmin[o], bky[o]
+        bs = np.flatnonzero(np.r_[True, bky[1:] != bky[:-1]])
+        bl = np.diff(np.r_[bs, len(bky)])
+        bsrc, bdst = [], []
+        for st, n in zip(bs[bl >= 2], bl[bl >= 2]):
+            mins = bmin[st:st + n]
+            bsrc.append(np.full(n - 1, mins[0])); bdst.append(mins[1:])
+        if bsrc:
+            bsrc = np.concatenate(bsrc); bdst = np.concatenate(bdst)
+            best = (fold[bsrc] == fold[bdst]).mean(axis=1)
+            keep = best >= thr
+            e_src = np.concatenate([e_src, bsrc[keep]])
+            e_dst = np.concatenate([e_dst, bdst[keep]])
+            e_est = np.concatenate([e_est, best[keep]])
+
+    # global dedup (same pair via several bands lands in different
+    # partitions): bounded by the post-verify survivor set
+    packed = (e_src.astype(np.uint64) << np.uint64(32)) \
+        | e_dst.astype(np.uint64)
+    _, first = np.unique(packed, return_index=True)
+    e_src, e_dst, e_est = e_src[first], e_dst[first], e_est[first]
+    return rd.from_arrow(pa.table({
+        "src": ids_sorted.take(pa.array(e_src)),
+        "dst": ids_sorted.take(pa.array(e_dst)),
+        "jaccard_est": pa.array(e_est, pa.float64())}))

@@ -132,9 +132,18 @@ def connected_components(edges: rd.Dataset, *,
         # (map_groups lineage) converts row-by-row — measured ~35 s for a
         # 47k-row edge table vs 0.1 s via to_arrow_refs
         import ray as _ray
+        import pandas as _pd
+
+        def _as_arrow(b):
+            # to_arrow_refs hands back pandas blocks verbatim when the
+            # lineage produced them (map_groups output) — normalize
+            if isinstance(b, _pd.DataFrame):
+                return pa.Table.from_pandas(b, preserve_index=False)
+            return b
+
+        blocks = [_as_arrow(b) for b in _ray.get(edges.to_arrow_refs())]
         tbl = pa.concat_tables([
-            b.select(["src", "dst"]) for b in
-            _ray.get(edges.to_arrow_refs()) if b.num_rows])  \
+            b.select(["src", "dst"]) for b in blocks if b.num_rows]) \
             if n_edges else pa.table({"src": [], "dst": []})
         mapping = driver_union_find(list(zip(
             tbl.column("src").to_pylist(), tbl.column("dst").to_pylist())))
