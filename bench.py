@@ -59,7 +59,7 @@ def run_headline(n_rows: int) -> dict:
     # protocol requires the identical job at N and 4N cpus (a partition
     # count that tracked num_cpus would change the physical plan per level)
     cfg = PipelineConfig(verify_threshold=0.5, num_partitions=32,
-                         batch_size=1024, signer_batch_size=32)
+                         batch_size=1024)
     t0 = time.perf_counter()
     corpus = rd.read_parquet(path)
     clusters = dedup.near_dup_clusters(corpus, cfg)

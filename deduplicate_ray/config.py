@@ -75,11 +75,12 @@ class PipelineConfig:
     batch_size: int = 1024          # rows per map_batches batch (wide text rows)
     #: signer batches are much smaller than general batches, for two
     #: measured reasons: (a) fine batches load-balance the long-tailed
-    #: lognormal doc sizes, and (b) the per-perm minhash pass re-reads the
-    #: batch shingle buffer 128 times — at 32 rows the buffer stays
-    #: L2-resident per worker instead of thrashing the shared L3
-    #: (9.3s vs 13.4s vs 29s for bs=32/128/512 at 100k docs, 32 cpus)
-    signer_batch_size: int = 32
+    #: lognormal doc sizes, and (b) the signer chunks its shingle buffer
+    #: internally to stay L1/L2-resident regardless of batch size — so the
+    #: batch size only controls TASK granularity. 256 rows ≈ 1.2k tasks at
+    #: 314k docs (32-row batches launched ~10k tasks whose scheduling
+    #: overhead capped the stage's core-scaling at ~0.6)
+    signer_batch_size: int = 256
     signer_concurrency: int | tuple[int, int] = (1, 4)  # MinHash actor pool (min, max)
     num_partitions: int = 16        # hash-join / shuffle partition count
     #: When the narrow (file_id, sha256) metadata relation has at most this

@@ -653,26 +653,45 @@ def fused_candidate_edges(sigs: rd.Dataset, cfg: PipelineConfig | None = None,
     import pyarrow.compute as pc
 
     b_, r_ = cfg.lsh_bands, cfg.lsh_rows
-    # per-block processing: the full uint64 signature matrix (8 B/perm)
-    # never materializes on the driver — only the band-key matrix and the
-    # 16-bit fold (each 1/4 the size), built block-by-block from the
-    # zero-copy plasma views
-    blocks = [b for b in ray.get(sigs.select_columns(
-        ["file_id", "sig"]).to_arrow_refs()) if b.num_rows]
+
+    def prep(batch: pa.Table) -> pa.Table:
+        """Distributed prep: band-key matrix + 16-bit fold per sig row.
+        Runs in parallel over the pinned sig blocks so the driver only
+        concatenates the 4x-smaller derived columns (the full uint64
+        signature matrix never streams through the driver serially)."""
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({
+                "file_id": pa.array([], pa.string()),
+                "bh": pa.array([], pa.list_(pa.int64())),
+                "fold": pa.array([], pa.list_(pa.uint16()))})
+        m = np.asarray(batch.column("sig").combine_chunks().flatten()) \
+            .reshape(n, -1).astype(np.uint64, copy=False)
+        bh = _mh.band_hashes(m, b_, r_)
+        fd = _fold16(m)
+        return pa.table({
+            "file_id": batch.column("file_id").combine_chunks(),
+            "bh": pa.FixedSizeListArray.from_arrays(
+                pa.array(bh.reshape(-1), pa.int64()), b_),
+            "fold": pa.FixedSizeListArray.from_arrays(
+                pa.array(fd.reshape(-1), pa.uint16()), m.shape[1])})
+
+    prepped = sigs.select_columns(["file_id", "sig"]).map_batches(
+        prep, batch_format="pyarrow").materialize()
+    blocks = [b for b in ray.get(prepped.to_arrow_refs()) if b.num_rows]
     ids_arr = pa.concat_arrays(
         [b.column("file_id").combine_chunks() for b in blocks])
-    bh_parts, fold_parts = [], []
-    for blk in blocks:
-        m = np.asarray(blk.column("sig").combine_chunks().flatten()) \
-            .reshape(blk.num_rows, -1).astype(np.uint64, copy=False)
-        bh_parts.append(_mh.band_hashes(m, b_, r_))
-        fold_parts.append(_fold16(m))
-    bh_all = np.concatenate(bh_parts)            # (n_sigs, bands) int64
-    fold = np.concatenate(fold_parts)
-    del bh_parts, fold_parts
+    bh_all = np.concatenate(
+        [np.asarray(b.column("bh").combine_chunks().flatten())
+         .reshape(b.num_rows, -1) for b in blocks])
+    fold = np.concatenate(
+        [np.asarray(b.column("fold").combine_chunks().flatten())
+         .reshape(b.num_rows, -1) for b in blocks])
     order = pc.sort_indices(ids_arr)
     ids_sorted = ids_arr.take(order)
-    fold = fold[np.asarray(order)]               # 2 B/perm gather only
+    # fold stays in BLOCK order; the int32 permutation (sorted idx →
+    # block row) rides along instead of an 80 MB driver-side row gather
+    perm = np.asarray(order).astype(np.int32)
 
     uk, cnt = np.unique(bh_all, return_counts=True)
     multi = cnt >= 2
@@ -687,14 +706,15 @@ def fused_candidate_edges(sigs: rd.Dataset, cfg: PipelineConfig | None = None,
     del bh_all
 
     map_ref = ray.put((ids_sorted, census_keys, ks))
-    mat_ref = ray.put(fold)
+    mat_ref = ray.put((fold, perm))
     thr = cfg.verify_threshold
     max_n = cfg.max_bucket_pairs
     n_parts = cfg.num_partitions * 4
     salt_mix = np.uint64(0x165667B19E3779F9)
 
     def project(batch: pa.Table) -> pa.Table:
-        """sig rows → (gkey, key, salt, idx, _p) rows of multi buckets."""
+        """prepped rows → (gkey, key, salt, idx, _p) rows of multi
+        buckets (band keys come precomputed from the prep pass)."""
         ck = "fusedmap:" + map_ref.hex()
         state = _VERIFY_CACHE.get(ck)
         if state is None:
@@ -713,9 +733,8 @@ def fused_candidate_edges(sigs: rd.Dataset, cfg: PipelineConfig | None = None,
                               "_p": pa.array([], pa.int32())})
         if n == 0 or not len(keys_):
             return out_empty
-        sig = np.asarray(batch.column("sig").combine_chunks().flatten()) \
-            .reshape(n, b_ * r_).astype(np.uint64, copy=False)
-        keys = _mh.band_hashes(sig, b_, r_).ravel()
+        keys = np.asarray(batch.column("bh").combine_chunks().flatten()) \
+            .reshape(n, b_).ravel()
         idx = pc.index_in(batch.column("file_id").combine_chunks(),
                           value_set=ids_).cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
@@ -744,12 +763,14 @@ def fused_candidate_edges(sigs: rd.Dataset, cfg: PipelineConfig | None = None,
         """One partition (many whole buckets) → verified int edges +
         sub-bucket-minimum marker rows (dst == -1, bkey = bucket key)."""
         ck = "fusedmat:" + mat_ref.hex()
-        m = _VERIFY_CACHE.get(ck)
-        if m is None:
-            m = np.array(ray.get(mat_ref), copy=True)  # heap copy: plasma
-            if len(_VERIFY_CACHE) > 4:                 # gathers are slow
+        state = _VERIFY_CACHE.get(ck)
+        if state is None:
+            m_, perm_ = ray.get(mat_ref)
+            m_.sum(); perm_.sum()      # sequential fault-in of the mapping
+            if len(_VERIFY_CACHE) > 4:
                 _VERIFY_CACHE.clear()
-            _VERIFY_CACHE[ck] = m
+            state = _VERIFY_CACHE[ck] = (m_, perm_)
+        m, perm_ = state
         gkey = g["gkey"].to_numpy()
         key = g["key"].to_numpy()
         salt = g["salt"].to_numpy()
@@ -785,7 +806,7 @@ def fused_candidate_edges(sigs: rd.Dataset, cfg: PipelineConfig | None = None,
                 | dst.astype(np.uint64)
             _, first = np.unique(packed, return_index=True)
             src, dst = src[first], dst[first]
-            est = (m[src] == m[dst]).mean(axis=1)
+            est = (m[perm_[src]] == m[perm_[dst]]).mean(axis=1)
             keep = est >= thr
             frames.append(pd.DataFrame({
                 "src": src[keep], "dst": dst[keep],
@@ -805,8 +826,8 @@ def fused_candidate_edges(sigs: rd.Dataset, cfg: PipelineConfig | None = None,
     # large project batches: pc.index_in rebuilds its value-set hash table
     # per call, so tiny batches would pay the O(n_sigs) build hundreds of
     # times (307 tasks x ~0.2 s at 314k sigs with the 1024-row default)
-    parts = sigs.map_batches(project, batch_format="pyarrow",
-                             batch_size=65536) \
+    parts = prepped.map_batches(project, batch_format="pyarrow",
+                                batch_size=65536) \
         .groupby("_p").map_groups(emit_verify, batch_format="pandas")
     out_blocks = [b for b in ray.get(parts.to_arrow_refs()) if b.num_rows]
     if not out_blocks:
@@ -835,7 +856,7 @@ def fused_candidate_edges(sigs: rd.Dataset, cfg: PipelineConfig | None = None,
             bsrc.append(np.full(n - 1, mins[0])); bdst.append(mins[1:])
         if bsrc:
             bsrc = np.concatenate(bsrc); bdst = np.concatenate(bdst)
-            best = (fold[bsrc] == fold[bdst]).mean(axis=1)
+            best = (fold[perm[bsrc]] == fold[perm[bdst]]).mean(axis=1)
             keep = best >= thr
             e_src = np.concatenate([e_src, bsrc[keep]])
             e_dst = np.concatenate([e_dst, bdst[keep]])
