@@ -34,6 +34,12 @@ def _t(sf_dir: str, name: str, columns=None, split: int = 0) -> rd.Dataset:
     as ONE block — without the split every downstream stage of that query
     would run in a single task."""
     ds = rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    # the testdata parquet carries a `pandas` schema-metadata blob that
+    # makes the arrow schema unhashable; Ray's shuffle schema-dedup then
+    # logs "Failed to hash the schemas: unhashable type: 'dict'" from
+    # every reduce task — strip it at the read, before any shuffle
+    ds = ds.map_batches(lambda t: t.replace_schema_metadata(None),
+                        batch_format="pyarrow")
     if split:
         ds = ds.repartition(split)
     return ds

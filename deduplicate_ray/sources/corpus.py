@@ -25,7 +25,11 @@ def read_corpus(path: str | list[str], columns: list[str] | None = None) -> rd.D
     ``lang`` too is harmless, but a full-width read for a narrow stage is not.
     """
     ds = rd.read_parquet(path, columns=columns)
-    return ds
+    # strip writer schema metadata (e.g. a `pandas` blob) — it makes the
+    # arrow schema unhashable and Ray's shuffle schema-dedup logs a
+    # warning per reduce task
+    return ds.map_batches(lambda t: t.replace_schema_metadata(None),
+                          batch_format="pyarrow")
 
 
 def validate_schema(ds: rd.Dataset) -> rd.Dataset:
@@ -72,6 +76,8 @@ def documents_as_corpus(sf_dir: str) -> rd.Dataset:
     ``commit``='' (single snapshot)."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "lang", "source"])
+    ds = ds.map_batches(lambda t: t.replace_schema_metadata(None),
+                        batch_format="pyarrow")
     # driver testdata is single-row-group parquet → one block; split so the
     # downstream pipeline parallelizes
     ds = ds.repartition(8)

@@ -184,3 +184,29 @@ def test_exact_families_fold_into_clusters():
     fu = file_id("r", "c", "u.py")
     assert comp[fa] == comp[fb] == comp[fc]
     assert fu not in comp
+
+
+def test_fused_edges_match_modular_plan():
+    """The fused int-indexed candidate+verify fast path must emit exactly
+    the edge set of the modular plan (candidate_pairs -> verify_pairs ->
+    dedup_edges) on unsalted input — the fusion is a physical-plan change
+    only. (Salted buckets legitimately differ in sub-bucket assignment:
+    modular salts by hash(file_id), fused by hash(idx); connectivity is
+    pinned separately by test_salting_preserves_connectivity.)"""
+    fx = fx_near_dup()
+    cfg = PipelineConfig(verify_threshold=0.5)
+    hashed = exact.hash_corpus(rd.from_arrow(fx.table()), cfg,
+                               keep_content=True).materialize()
+    sigs = minhash.sign_corpus(hashed, cfg).materialize()
+
+    fused = lsh.fused_candidate_edges(sigs, cfg)
+    assert fused is not None
+    fused_set = {(r["src"], r["dst"]) for r in fused.take_all()}
+
+    bands = minhash.explode_bands(sigs, cfg)
+    modular = lsh.dedup_edges(
+        lsh.verify_pairs(lsh.candidate_pairs(bands, cfg), sigs, cfg))
+    modular_set = {(r["src"], r["dst"]) for r in modular.take_all()}
+
+    assert fused_set == modular_set
+    assert fused_set, "fixture must produce candidate edges"
