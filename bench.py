@@ -1,6 +1,8 @@
 """Benchmark harness (driver contract).
 
-Headline: the flagship 3-stage dedup pipeline over a deterministic
+Headline: the flagship dedup pipeline (Stage 1 exact + Stage 2
+MinHash/LSH near-dup; the Stage-3 substring pass is benchmarked
+separately via --substring) over a deterministic
 dup-rich corpus (fixtures.bench_corpus — the BASELINE.json input_hint
 table synthesized at a size scaled to $GRAFT_SF_DIR's sf), plus timed
 representative queries over the testdata tables.
@@ -150,7 +152,7 @@ def scaling() -> None:
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             "# Measured scaling (sandbox protocol)\n\n"
-            "Same headline job (full 3-stage dedup over the deterministic\n"
+            "Same headline job (stage 1+2 dedup over the deterministic\n"
             f"bench corpus, {res[8]['rows']} rows), fresh `ray.init` processes\n"
             "per level. Efficiency = (T_N / T_4N) / 4; target >= 0.8\n"
             "(BASELINE.json). On one shared-memory box, cores beyond ~8\n"

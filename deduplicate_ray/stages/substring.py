@@ -46,33 +46,48 @@ SENTINEL = "\x00"
 _SA_MIN_BYTES = 1 << 20  # below this, brute find beats building the index
 
 
-def build_suffix_array(data: bytes) -> np.ndarray:
-    """Suffix array of ``data`` by prefix doubling (Manber–Myers over numpy
-    ``lexsort``): O(n log² n), every pass vectorized."""
+def build_suffix_array(data: bytes, depth: int | None = None) -> np.ndarray:
+    """Suffix array of ``data`` by prefix doubling (Manber–Myers): each
+    round packs (rank, rank_at_offset_k) into ONE int64 key — rank < n and
+    key2 + 1 <= n, so ``rank * (n + 1) + key2 + 1`` is collision-free —
+    and sorts with a single ``argsort`` (half the sort passes of a 2-key
+    ``lexsort``). O(n log² n), every pass vectorized.
+
+    ``depth``: stop once suffixes are sorted by their first ``depth``
+    bytes (ties beyond that stay arbitrary). Containment queries compare
+    only ``len(pattern)`` bytes, so a depth >= the longest query pattern
+    yields the same occurrence ranges while skipping the deep doubling
+    rounds — on repetitive text those are the expensive ones (ranks stay
+    tied until k exceeds the repeat length)."""
     arr = np.frombuffer(data, dtype=np.uint8)
     n = len(arr)
     if n == 0:
         return np.zeros(0, dtype=np.int64)
-    rank = arr.astype(np.int64)
+    # densify byte values so every rank < n (the packing invariant below;
+    # raw bytes run up to 255, which breaks it for short inputs)
+    rank = np.unique(arr, return_inverse=True)[1].astype(np.int64)
+    stride = np.int64(n + 1)
     k = 1
-    order = np.argsort(rank, kind="stable")
     while True:
-        key2 = np.full(n, -1, dtype=np.int64)
+        packed = rank * stride
         if k < n:
-            key2[:-k] = rank[k:]
-        order = np.lexsort((key2, rank))
+            packed[:-k] += rank[k:] + 1
+        # sort kind does not matter for correctness: intermediate ranks
+        # depend only on key EQUALITY, and the final round's keys are all
+        # unique — introsort beats stable mergesort here
+        order = np.argsort(packed)
+        po = packed[order]
         changed = np.empty(n, dtype=np.int64)
         changed[0] = 0
         if n > 1:
-            changed[1:] = ((rank[order][1:] != rank[order][:-1])
-                           | (key2[order][1:] != key2[order][:-1]))
+            changed[1:] = po[1:] != po[:-1]
         new_rank = np.cumsum(changed)
-        if new_rank[-1] == n - 1:
+        k *= 2
+        if new_rank[-1] == n - 1 or (depth is not None and k >= depth):
             return order
         r = np.empty(n, dtype=np.int64)
         r[order] = new_rank
         rank = r
-        k *= 2
 
 
 def _sa_occurrences(concat: bytes, sa: np.ndarray, pat: bytes) -> np.ndarray:
@@ -114,7 +129,13 @@ def containment_pairs_in_group(file_ids: list[str], contents: list[str],
     order = np.argsort([len(c) for c in enc], kind="stable")
 
     use_sa = len(concat) >= _SA_MIN_BYTES
-    sa = build_suffix_array(concat) if use_sa else None
+    sa = None
+    if use_sa:
+        # queries compare at most max-query-doc-length bytes; sorting
+        # deeper than that buys nothing (see build_suffix_array depth)
+        q_lens = [len(c) for c in enc if len(c) >= min_len]
+        max_q = max(q_lens) if q_lens else min_len
+        sa = build_suffix_array(concat, depth=max_q)
 
     pairs: set[tuple[str, str]] = set()
     seen_content: dict[bytes, np.ndarray] = {}
@@ -150,13 +171,15 @@ def containment_edges(corpus_with_ids: rd.Dataset,
     pcol = partition_col or cfg.substring_partition_col
     min_len = cfg.min_containment_len
 
-    def scan(g: pd.DataFrame) -> pd.DataFrame:
+    def scan(g: pd.DataFrame) -> pa.Table:
+        # arrow output keeps empty blocks TYPED (string, not object) —
+        # Ray's block size estimator chokes on empty object columns
+        # ("cannot call `vectorize` on size 0 inputs")
         pairs = containment_pairs_in_group(
             g["file_id"].tolist(), g["content"].fillna("").tolist(), min_len)
-        return pd.DataFrame(
-            {"src": pd.Series([p[0] for p in pairs], dtype=object),
-             "dst": pd.Series([p[1] for p in pairs], dtype=object)},
-            columns=["src", "dst"])
+        return pa.table(
+            {"src": pa.array([p[0] for p in pairs], pa.string()),
+             "dst": pa.array([p[1] for p in pairs], pa.string())})
 
     cols = ["file_id", "content", pcol]
     return corpus_with_ids.select_columns(cols).groupby(pcol).map_groups(
