@@ -406,7 +406,7 @@ def q_top_customers(sf_dir: str):
     of distributed summation order — a float Sum differs from the oracle's
     in the last ulp, which rounding cannot always hide (round-1 hash
     mismatch)."""
-    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"], split=16)
 
     def to_cents(t: pa.Table) -> pa.Table:
         cents = pc.cast(pc.round(pc.multiply(t.column("o_totalprice"),
@@ -414,10 +414,28 @@ def q_top_customers(sf_dir: str):
         return pa.table({"o_custkey": t.column("o_custkey"),
                          "cents": cents})
 
+    # hash-partitioned pandas aggregate instead of Ray's sort-based
+    # per-key aggregate: one int-keyed shuffle into 32 partitions, then a
+    # vectorized C groupby per partition (keys never straddle partitions)
+    # — measured ~2.5x faster at 1.5M rows / 150k keys
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t.column("o_custkey").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(59)) \
+            .astype(np.int32)
+        return t.append_column("_p", pa.array(p))
+
+    def agg_part(g) -> pa.Table:
+        gb = g.groupby("o_custkey", sort=False)["cents"] \
+            .agg(["sum", "size"]).reset_index()
+        return pa.table({
+            "o_custkey": pa.array(gb["o_custkey"].to_numpy(), pa.int64()),
+            "revenue_cents": pa.array(gb["sum"].to_numpy(), pa.int64()),
+            "n_orders": pa.array(gb["size"].to_numpy(), pa.int64())})
+
     per_cust = orders.map_batches(to_cents, batch_format="pyarrow") \
-        .groupby("o_custkey").aggregate(
-            Sum("cents", alias_name="revenue_cents"),
-            Count(alias_name="n_orders"))
+        .map_batches(add_part, batch_format="pyarrow") \
+        .groupby("_p").map_groups(agg_part, batch_format="pandas")
     cust = _t(sf_dir, "customer", ["c_custkey", "c_name"])
     renamed = per_cust.map_batches(
         lambda t: t.rename_columns(["c_custkey", "revenue_cents", "n_orders"]),
@@ -444,7 +462,7 @@ def q_customers_without_orders(sf_dir: str):
     trivially; the filtered key side exercises the anti-join on real
     misses."""
     cust = _t(sf_dir, "customer", ["c_custkey"])
-    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"], split=16) \
         .filter(expr="o_totalprice > 300000") \
         .map_batches(lambda t: t.select(["o_custkey"]).rename_columns(
             ["c_custkey"]), batch_format="pyarrow")
@@ -453,7 +471,8 @@ def q_customers_without_orders(sf_dir: str):
 
 
 def q_orders_per_status(sf_dir: str):
-    orders = _t(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+    orders = _t(sf_dir, "orders", ["o_orderstatus", "o_totalprice"],
+                split=16)
     agg = orders.groupby("o_orderstatus").aggregate(
         Count(alias_name="n_orders"),
         Sum("o_totalprice", alias_name="total_price"))
@@ -462,7 +481,8 @@ def q_orders_per_status(sf_dir: str):
 
 def q_part_type_stats(sf_dir: str):
     """Filter + groupby with Min/Max aggregates."""
-    part = _t(sf_dir, "part", ["p_type", "p_size", "p_retailprice"])
+    part = _t(sf_dir, "part", ["p_type", "p_size", "p_retailprice"],
+               split=8)
     filtered = part.filter(expr="p_size >= 10")
     agg = filtered.groupby("p_type").aggregate(
         Count(alias_name="n_parts"),
