@@ -344,6 +344,16 @@ def q_knn_cosine_lsh(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "score"])
 
 
+def q_knn_cosine_ivf(sf_dir: str):
+    """IVF ANN variant (spherical-k-means coarse quantizer, n_probe-list
+    search; rows-only — recall < 1 by design, see
+    tests/test_ops.py::test_ivf_recall_vs_brute)."""
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = similarity.knn_cosine_ivf(emb, _query_vectors(sf_dir), k=10,
+                                    n_lists=16, n_probe=4)
+    return out.select_columns(["query_id", "vec_id", "score"])
+
+
 def q_embedding_cosine_pairs(sf_dir: str):
     """All pairs with cosine >= 0.3 (exact; oracle via
     list_cosine_similarity). Engine path: bucketed LSH at scale; the exact
@@ -548,6 +558,7 @@ QUERIES = {
     "fingerprint_docs": q_fingerprint_docs,
     "knn_cosine": q_knn_cosine,
     "knn_cosine_lsh": q_knn_cosine_lsh,
+    "knn_cosine_ivf": q_knn_cosine_ivf,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,

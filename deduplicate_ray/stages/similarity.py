@@ -145,3 +145,97 @@ def knn_cosine_lsh(embeddings: rd.Dataset, queries: np.ndarray, k: int = 10,
 
     return local.groupby("query_id").map_groups(global_topk,
                                                 batch_format="pandas")
+
+
+def train_kmeans(sample: np.ndarray, n_lists: int, iters: int = 10,
+                 seed: int = 42) -> np.ndarray:
+    """Spherical k-means coarse quantizer (Lloyd's, deterministic seed):
+    returns (n_lists, dim) L2-normalized centroids. Runs on a bounded
+    SAMPLE on the driver — the IVF training path of every public ANN
+    system; assignment stays distributed."""
+    s = _normalize(sample)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n_lists = min(n_lists, len(s))
+    cents = s[rng.choice(len(s), size=n_lists, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(s @ cents.T, axis=1)
+        for c in range(n_lists):
+            members = s[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def ivf_assign(embeddings: rd.Dataset, centroids: np.ndarray,
+               vec_col: str = "embedding") -> rd.Dataset:
+    """Append ``ivf_list``: nearest-centroid id per row (one matmul per
+    batch against the broadcast centroid matrix)."""
+    cref = ray.put(_normalize(centroids))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        e = _normalize(_batch_matrix(batch, vec_col))
+        lists = np.argmax(e @ c.T, axis=1).astype(np.int64)
+        return batch.append_column("ivf_list", pa.array(lists, pa.int64()))
+
+    return embeddings.map_batches(assign, batch_format="pyarrow")
+
+
+def knn_cosine_ivf(embeddings: rd.Dataset, queries: np.ndarray, k: int = 10,
+                   n_lists: int = 16, n_probe: int = 4,
+                   sample_size: int = 10_000, seed: int = 42,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> rd.Dataset:
+    """IVF ANN top-k (the coarse-quantizer scale path named by the brief):
+    train n_lists spherical-k-means centroids on a bounded sample, assign
+    every vector to its nearest list (distributed, one matmul per batch),
+    and score each query only against rows of its ``n_probe`` nearest
+    lists — candidate work falls ~n_lists/n_probe-fold vs brute force.
+    Recall is governed by n_probe (n_probe == n_lists degenerates to exact
+    brute force); output schema matches :func:`knn_cosine`."""
+    sample_tbl = embeddings.limit(sample_size).select_columns([vec_col])
+    sample = np.concatenate([
+        _batch_matrix(b, vec_col)
+        for b in sample_tbl.iter_batches(batch_format="pyarrow",
+                                         batch_size=4096)])
+    cents = train_kmeans(sample, n_lists, seed=seed)
+    qn = _normalize(queries)
+    n_probe = min(n_probe, len(cents))
+    # per-query probe set: the n_probe nearest centroids
+    qsims = qn @ cents.T
+    probes = np.argpartition(-qsims, n_probe - 1, axis=1)[:, :n_probe]
+    qref = ray.put((qn, _normalize(cents), probes))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        q, c, pr = ray.get(qref)
+        e = _normalize(_batch_matrix(batch, vec_col))
+        ids = np.asarray(batch.column(id_col).to_pylist())
+        lists = np.argmax(e @ c.T, axis=1)
+        out_q, out_i, out_s = [], [], []
+        for qi in range(q.shape[0]):
+            mask = np.isin(lists, pr[qi])
+            if not mask.any():
+                continue
+            sub = e[mask]
+            s = sub @ q[qi]
+            kk = min(k, len(s))
+            idx = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) \
+                else np.arange(len(s))
+            out_q.extend([qi] * len(idx))
+            out_i.extend(ids[mask][idx].tolist())
+            out_s.extend(s[idx].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            id_col: pa.array(out_i),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+    local = embeddings.map_batches(probe, batch_format="pyarrow",
+                                   batch_size=4096)
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["score", id_col],
+                             ascending=[False, True]).head(k)
+
+    return local.groupby("query_id").map_groups(global_topk,
+                                                batch_format="pandas")

@@ -211,3 +211,46 @@ def test_config_fingerprint_changes_with_config():
     assert PipelineConfig().fingerprint() == PipelineConfig().fingerprint()
     assert PipelineConfig().fingerprint() != \
         PipelineConfig(shingle_k=7).fingerprint()
+
+
+def test_ivf_recall_vs_brute():
+    """IVF ANN (coarse k-means + n_probe lists) must recover >= 80% of the
+    brute-force top-10 on a clustered embedding set when probing 1/4 of
+    the lists (and exactly 100% when probing every list)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from deduplicate_ray.stages import similarity
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((8, 16)) * 3
+    vecs = np.concatenate([
+        c + rng.standard_normal((150, 16)) * 0.4 for c in centers])
+    ids = np.arange(len(vecs), dtype=np.int64)
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.reshape(-1), pa.float32()), 16)})).repartition(4)
+    queries = vecs[::211][:5]
+
+    brute = similarity.knn_cosine(emb, queries, k=10, round_to=None)
+    truth = {}
+    for r in brute.take_all():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    ivf = similarity.knn_cosine_ivf(emb, queries, k=10, n_lists=16,
+                                    n_probe=4, sample_size=1200)
+    got = {}
+    for r in ivf.take_all():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+    total = sum(len(t) for t in truth.values())
+    assert hits / total >= 0.8, f"IVF recall {hits}/{total}"
+
+    full = similarity.knn_cosine_ivf(emb, queries, k=10, n_lists=16,
+                                     n_probe=16, sample_size=1200)
+    got_full = {}
+    for r in full.take_all():
+        got_full.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert all(got_full.get(q) == t for q, t in truth.items()), \
+        "n_probe == n_lists must equal brute force"
