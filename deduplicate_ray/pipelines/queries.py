@@ -309,6 +309,30 @@ def q_lang_guess_docs(sf_dir: str):
     return out.select_columns(["doc_id", "lang_guess", "quality_score"])
 
 
+def q_quality_filter_docs(sf_dir: str):
+    """Quality filtering (the training-data gate): keep docs clearing
+    length and digit-density thresholds, emitting the signals used. The
+    signals come from the production ``quality_frame`` kernel; the oracle
+    recomputes them in SQL (testdata text is ASCII, so pandas ``\\d`` and
+    DuckDB ``[0-9]`` agree)."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = [(t or "") for t in batch.column("text").to_pylist()]
+        q = textfn.quality_frame(texts)
+        keep = (q["n_chars_q"] >= 100) & (q["digit_ratio"] <= 0.05)
+        ratio = np.round(q["digit_ratio"], 4)
+        t = pa.table({"doc_id": batch.column("doc_id"),
+                      "n_chars_q": pa.array(q["n_chars_q"], pa.int64()),
+                      "digit_ratio": pa.array(ratio, pa.float64())})
+        return t.filter(pa.array(keep))
+
+    out = docs.map_batches(f, batch_format="pyarrow")
+    return _as_table(out.sort("doc_id"), pa.schema([
+        ("doc_id", pa.int64()), ("n_chars_q", pa.int64()),
+        ("digit_ratio", pa.float64())]))
+
+
 def q_fingerprint_docs(sf_dir: str):
     """Rolling-hash document fingerprints (rows-only)."""
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
@@ -559,6 +583,7 @@ QUERIES = {
     "knn_cosine": q_knn_cosine,
     "knn_cosine_lsh": q_knn_cosine_lsh,
     "knn_cosine_ivf": q_knn_cosine_ivf,
+    "quality_filter_docs": q_quality_filter_docs,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
@@ -625,6 +650,17 @@ ORACLE_SQL = {
                CAST(COUNT(*) - SUM(CASE WHEN m IN (SELECT m FROM d)
                    THEN 1 ELSE 0 END) AS BIGINT) AS uniq_count
         FROM h GROUP BY source
+    """,
+    "quality_filter_docs": """
+        SELECT doc_id,
+               LENGTH(text) AS n_chars_q,
+               ROUND(LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g')) * 1.0
+                     / LENGTH(text), 4) AS digit_ratio
+        FROM documents
+        WHERE LENGTH(text) >= 100
+          AND LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g')) * 1.0
+              / LENGTH(text) <= 0.05
+        ORDER BY doc_id
     """,
     "token_counts_docs": """
         SELECT doc_id,
