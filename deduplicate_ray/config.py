@@ -89,6 +89,12 @@ class PipelineConfig:
     #: distributed groupbys/joins — the metadata analog of the union-find
     #: driver fast path. Beyond the limit the distributed path runs.
     driver_metadata_limit: int = 2_000_000
+    #: Broadcast budget (docs) for driver-resident LSH state: below it the
+    #: fused candidate+verify fast path and the broadcast verify run; above
+    #: it every stage uses the fully distributed plan (modular
+    #: candidate_pairs → joined verify). Tests set 0 to force the scale
+    #: path end-to-end.
+    broadcast_limit: int = 500_000
     checkpoint_dir: str | None = None   # stage checkpoints live here when set
     resume: bool = True             # skip stages with a complete, matching manifest
     #: Identity of the INPUT corpus (set via

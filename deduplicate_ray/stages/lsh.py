@@ -450,10 +450,12 @@ def truncation_metrics(bands: rd.Dataset, cfg: PipelineConfig | None = None) -> 
 
 def verify_pairs(edges: rd.Dataset, signatures: rd.Dataset,
                  cfg: PipelineConfig | None = None,
-                 broadcast_limit: int = 500_000) -> rd.Dataset:
+                 broadcast_limit: int | None = None) -> rd.Dataset:
     """Drop candidate pairs whose MinHash Jaccard estimate is below
     ``cfg.verify_threshold``. Output adds ``jaccard_est: double``."""
     cfg = cfg or PipelineConfig()
+    if broadcast_limit is None:
+        broadcast_limit = cfg.broadcast_limit
     if cfg.verify_threshold <= 0:
         return edges.map_batches(
             lambda t: t.append_column(
@@ -607,7 +609,7 @@ def _fold16(mat: np.ndarray) -> np.ndarray:
 
 
 def fused_candidate_edges(sigs: rd.Dataset, cfg: PipelineConfig | None = None,
-                          broadcast_limit: int = 500_000
+                          broadcast_limit: int | None = None
                           ) -> rd.Dataset | None:
     """Fused LSH candidate+verify fast path: pinned signatures →
     verified, deduped ``(src, dst, jaccard_est)`` edges in ONE narrow
@@ -639,6 +641,8 @@ def fused_candidate_edges(sigs: rd.Dataset, cfg: PipelineConfig | None = None,
     past ``max_bucket_pairs``, same verify threshold.
     """
     cfg = cfg or PipelineConfig()
+    if broadcast_limit is None:
+        broadcast_limit = cfg.broadcast_limit
     n_sigs = sigs.count()
     if n_sigs > broadcast_limit:
         return None

@@ -210,3 +210,21 @@ def test_fused_edges_match_modular_plan():
 
     assert fused_set == modular_set
     assert fused_set, "fixture must produce candidate edges"
+
+
+def test_scale_paths_match_fast_paths():
+    """Force every driver fast path OFF (broadcast_limit=0 disables the
+    fused LSH plan and the broadcast verify; driver_metadata_limit=0
+    forces distributed representative election + family fold-in) and pin
+    that the fully distributed plan produces the identical cluster map."""
+    fx = fx_near_dup()
+    fast_cfg = PipelineConfig(verify_threshold=0.5)
+    slow_cfg = PipelineConfig(verify_threshold=0.5, broadcast_limit=0,
+                              driver_metadata_limit=0, num_partitions=4)
+    t = rd.from_arrow(fx.table())
+    fast = {r["file_id"]: r["cluster_id"]
+            for r in dedup.near_dup_clusters(t, fast_cfg).take_all()}
+    slow = {r["file_id"]: r["cluster_id"]
+            for r in dedup.near_dup_clusters(t, slow_cfg).take_all()}
+    assert fast == slow
+    assert fast, "fixture must produce clusters"
