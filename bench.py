@@ -11,9 +11,10 @@ Prints ONE JSON line:
   {"metric": "full_dedup_sec", "value": N, "unit": "sec",
    "queries": {...}, "sf": S, "num_cpus": N, "files_per_sec": F}
 
---scaling: runs the headline twice in fresh processes at num_cpus=8 and 32
-(the sandbox stand-in for N vs 4N cluster nodes), reports both throughputs
-and the scaling efficiency, and records them in BENCH/BASELINE.md.
+--scaling: runs the headline in fresh processes at num_cpus=2, 8 and 32
+(the sandbox stand-in for N vs 4N cluster nodes) — two interleaved passes,
+min per level — reports throughput at each level plus the (2,8) and
+(8,32) scaling efficiencies, and records them in BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -104,10 +105,13 @@ def main() -> None:
     # differ by up to ~50% with neighbor load (BASELINE.md measurement
     # noise); the min is the stable estimator of the pipeline's cost
     head = run_headline(n_rows)
-    head2 = run_headline(n_rows)
-    head_noise = round(abs(head2["sec"] - head["sec"]), 3)
-    if head2["sec"] < head["sec"]:
-        head = head2
+    if os.environ.get("DEDUP_BENCH_ONCE") == "1":
+        head_noise = 0.0          # --scaling interleaves its own repeats
+    else:
+        head2 = run_headline(n_rows)
+        head_noise = round(abs(head2["sec"] - head["sec"]), 3)
+        if head2["sec"] < head["sec"]:
+            head = head2
     queries = run_queries(SF_DIR)
     print(json.dumps({
         "metric": "full_dedup_sec",
@@ -136,13 +140,23 @@ def scaling() -> None:
     transparency.
     """
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   DEDUP_BENCH_ONCE="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True, cwd=os.path.dirname(os.path.abspath(__file__))).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    res = {n: run(n) for n in (2, 8, 32)}
+    # two INTERLEAVED passes over the levels, min per level: identical
+    # back-to-back runs on this shared box differ by up to ~50% with
+    # neighbor load, and interleaving spreads a noisy epoch across all
+    # levels instead of poisoning one
+    res = {}
+    for _pass in range(2):
+        for n in (2, 8, 32):
+            r = run(n)
+            if n not in res or r["value"] < res[n]["value"]:
+                res[n] = r
     pairs = []
     for lo, hi in [(2, 8), (8, 32)]:
         eff = (res[lo]["value"] / res[hi]["value"]) / (hi / lo)
@@ -162,7 +176,10 @@ def scaling() -> None:
             "# Measured scaling (sandbox protocol)\n\n"
             "Same headline job (stage 1+2 dedup over the deterministic\n"
             f"bench corpus, {res[8]['rows']} rows), fresh `ray.init` processes\n"
-            "per level. Efficiency = (T_N / T_4N) / 4; target >= 0.8\n"
+            "per level; TWO interleaved passes over the levels, min per\n"
+            "level (neighbor-load noise on this shared box reaches ~50%\n"
+            "between identical runs — BASELINE.md documents the control).\n"
+            "Efficiency = (T_N / T_4N) / 4; target >= 0.8\n"
             "(BASELINE.json). On one shared-memory box, cores beyond ~8\n"
             "contend for shared L3/DRAM bandwidth that a real multi-node\n"
             "cluster scales WITH its nodes — the 2->8 pair is the faithful\n"

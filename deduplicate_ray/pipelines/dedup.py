@@ -79,9 +79,19 @@ def near_dup_clusters(corpus: rd.Dataset, cfg: PipelineConfig | None = None,
     _lap("start")
     hashed = exact.hash_corpus(corpus, cfg, keep_content=True).materialize()
     _lap("hash")
-    narrow = _pin(lambda: hashed.map_batches(
-        lambda t: t.select(["file_id", "sha256"]), batch_format="pyarrow"),
-        cfg, "hashes")
+    # With a checkpoint dir, the narrow relation is a required on-disk
+    # artifact (resume + audit). Without one it stays a LAZY projection of
+    # the pinned hashed blocks: materializing it again bought nothing but
+    # an extra barrier + object-store copy (the round-1 re-execution
+    # hazard is gone because hashed itself is pinned).
+    if cfg.checkpoint_dir:
+        narrow = _pin(lambda: hashed.map_batches(
+            lambda t: t.select(["file_id", "sha256"]),
+            batch_format="pyarrow"), cfg, "hashes")
+    else:
+        narrow = hashed.map_batches(
+            lambda t: t.select(["file_id", "sha256"]),
+            batch_format="pyarrow")
     _lap("narrow")
 
     # Driver fast path for the narrow METADATA relation (the analog of the
@@ -92,14 +102,16 @@ def near_dup_clusters(corpus: rd.Dataset, cfg: PipelineConfig | None = None,
     # cfg.driver_metadata_limit.
     meta_tbl = None
     if collapse_exact:
-        # count() on the pinned relation is metadata-only; the fetch stays
-        # in Arrow and the election uses arrow's C++ hash aggregate + join
-        # (sub-second at 200k rows vs ~8 s through pandas/take)
-        if narrow.count() <= cfg.driver_metadata_limit:
+        # row count from the pinned hashed relation (metadata-only); the
+        # metadata fetch slices (file_id, sha256) straight off the pinned
+        # blocks — zero-copy column selects, no narrow materialization.
+        # Election uses arrow's C++ hash aggregate + join (sub-second at
+        # 200k rows vs ~8 s through pandas/take).
+        if hashed.count() <= cfg.driver_metadata_limit:
             import ray as _ray0
             meta_tbl = pa.concat_tables(
-                _ray0.get(narrow.select_columns(
-                    ["file_id", "sha256"]).to_arrow_refs()))
+                t.select(["file_id", "sha256"])
+                for t in _ray0.get(hashed.to_arrow_refs()) if t.num_rows)
             reps_tbl = pa.TableGroupBy(meta_tbl, "sha256").aggregate(
                 [("file_id", "min")])
             meta_tbl = meta_tbl.join(reps_tbl, keys="sha256")

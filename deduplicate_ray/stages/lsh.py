@@ -680,8 +680,11 @@ def fused_candidate_edges(sigs: rd.Dataset, cfg: PipelineConfig | None = None,
             "fold": pa.FixedSizeListArray.from_arrays(
                 pa.array(fd.reshape(-1), pa.uint16()), m.shape[1])})
 
+    from deduplicate_ray.pipelines.dedup import _lap
+    _lap("fused:begin")
     prepped = sigs.select_columns(["file_id", "sig"]).map_batches(
         prep, batch_format="pyarrow").materialize()
+    _lap("fused:prep")
     blocks = [b for b in ray.get(prepped.to_arrow_refs()) if b.num_rows]
     ids_arr = pa.concat_arrays(
         [b.column("file_id").combine_chunks() for b in blocks])
@@ -691,16 +694,26 @@ def fused_candidate_edges(sigs: rd.Dataset, cfg: PipelineConfig | None = None,
     fold = np.concatenate(
         [np.asarray(b.column("fold").combine_chunks().flatten())
          .reshape(b.num_rows, -1) for b in blocks])
+    _lap("fused:driver-concat")
     order = pc.sort_indices(ids_arr)
     ids_sorted = ids_arr.take(order)
     # fold stays in BLOCK order; the int32 permutation (sorted idx →
     # block row) rides along instead of an 80 MB driver-side row gather
     perm = np.asarray(order).astype(np.int32)
+    _lap("fused:sort-ids")
 
-    uk, cnt = np.unique(bh_all, return_counts=True)
-    multi = cnt >= 2
-    census_keys = uk[multi]
-    census_n = cnt[multi]
+    # radix sort + run-length flags, touching only MULTI runs: singleton
+    # keys (the vast majority) are never gathered. Equivalent to
+    # np.unique(return_counts) filtered to count>=2, minus several full
+    # passes — on the target box every streaming pass over the 80 MB key
+    # array costs real wall time.
+    flat = np.sort(bh_all, axis=None, kind="stable")
+    eq = flat[1:] == flat[:-1]
+    run_start = np.flatnonzero(eq & np.r_[True, ~eq[:-1]])   # multi runs
+    run_end = np.flatnonzero(eq & np.r_[~eq[1:], True]) + 2  # exclusive
+    census_keys = flat[run_start]
+    census_n = run_end - run_start
+    _lap("fused:census-unique")
     ks = np.where(census_n > cfg.salt_threshold,
                   np.maximum(2, -(-census_n // cfg.salt_threshold)),
                   0).astype(np.int64)
@@ -711,6 +724,7 @@ def fused_candidate_edges(sigs: rd.Dataset, cfg: PipelineConfig | None = None,
 
     map_ref = ray.put((ids_sorted, census_keys, ks))
     mat_ref = ray.put((fold, perm))
+    _lap("fused:puts")
     thr = cfg.verify_threshold
     max_n = cfg.max_bucket_pairs
     n_parts = cfg.num_partitions * 4
@@ -834,6 +848,7 @@ def fused_candidate_edges(sigs: rd.Dataset, cfg: PipelineConfig | None = None,
                                 batch_size=65536) \
         .groupby("_p").map_groups(emit_verify, batch_format="pandas")
     out_blocks = [b for b in ray.get(parts.to_arrow_refs()) if b.num_rows]
+    _lap("fused:shuffle+emit")
     if not out_blocks:
         return rd.from_arrow(empty)
     tbl = pa.concat_tables([b.select(["src", "dst", "jaccard_est", "bkey"])
@@ -843,6 +858,7 @@ def fused_candidate_edges(sigs: rd.Dataset, cfg: PipelineConfig | None = None,
     est = tbl.column("jaccard_est").combine_chunks().to_numpy()
     bkey = tbl.column("bkey").combine_chunks().to_numpy().astype(np.int64)
 
+    _lap("fused:final-np")
     is_bridge = dst < 0
     e_src, e_dst, e_est = src[~is_bridge], dst[~is_bridge], est[~is_bridge]
     if is_bridge.any():
@@ -872,7 +888,9 @@ def fused_candidate_edges(sigs: rd.Dataset, cfg: PipelineConfig | None = None,
         | e_dst.astype(np.uint64)
     _, first = np.unique(packed, return_index=True)
     e_src, e_dst, e_est = e_src[first], e_dst[first], e_est[first]
-    return rd.from_arrow(pa.table({
+    out = rd.from_arrow(pa.table({
         "src": ids_sorted.take(pa.array(e_src)),
         "dst": ids_sorted.take(pa.array(e_dst)),
         "jaccard_est": pa.array(e_est, pa.float64())}))
+    _lap("fused:translate")
+    return out

@@ -228,3 +228,24 @@ def test_scale_paths_match_fast_paths():
             for r in dedup.near_dup_clusters(t, slow_cfg).take_all()}
     assert fast == slow
     assert fast, "fixture must produce clusters"
+
+
+def test_assign_all_total_assignment():
+    """assign_all gives EVERY corpus row a cluster_id: duplicate-family
+    members share their cluster, singletons self-label with their own
+    file_id."""
+    t = pa.table({
+        "repo": ["r"] * 3, "path": ["a.py", "b.py", "solo.py"],
+        "commit": ["c"] * 3, "lang": ["py"] * 3,
+        "content": ["same content " * 20, "same content " * 20,
+                    "one of a kind"]})
+    cfg = PipelineConfig(verify_threshold=0.5)
+    corpus = rd.from_arrow(t)
+    clusters = dedup.near_dup_clusters(corpus, cfg)
+    total = {r["file_id"]: r["cluster_id"]
+             for r in dedup.assign_all(corpus, clusters, cfg).take_all()}
+    fa, fb = file_id("r", "c", "a.py"), file_id("r", "c", "b.py")
+    fs = file_id("r", "c", "solo.py")
+    assert set(total) == {fa, fb, fs}
+    assert total[fa] == total[fb]
+    assert total[fs] == fs
