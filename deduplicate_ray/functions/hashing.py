@@ -27,15 +27,36 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _content_bytes(batch: pa.Table, column: str = "content") -> list[bytes]:
-    # Arrow string -> python bytes once per row; utf-8 bytes define "size"
-    # (the filesystem byte-length analog).
-    col = batch.column(column)
-    return [(s if s is not None else "").encode() for s in col.to_pylist()]
+def _content_bytes(batch: pa.Table, column: str = "content") -> list:
+    """Zero-copy per-row byte views of a utf-8 string column.
+
+    Arrow strings ARE utf-8, so memoryview slices of the shared data
+    buffer carry exactly the bytes ``str.encode()`` would produce — with
+    no per-row Python string allocation or copy (the round-1 path built
+    a PyString + a PyBytes per row, doubling the stage's memory traffic).
+    hashlib accepts memoryviews directly. Nulls hash as empty."""
+    col = batch.column(column).combine_chunks()
+    if isinstance(col, pa.ChunkedArray):        # 0-chunk edge case
+        col = pa.concat_arrays(col.chunks) if col.num_chunks \
+            else pa.array([], pa.string())
+    n = len(col)
+    if n == 0:
+        return []
+    offs_buf, data_buf = col.buffers()[1], col.buffers()[2]
+    width = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    offs = np.frombuffer(offs_buf, dtype=width,
+                         count=n + 1, offset=col.offset * np.dtype(width).itemsize)
+    mv = memoryview(data_buf) if data_buf is not None else memoryview(b"")
+    valid = np.ones(n, dtype=bool) if col.null_count == 0 else \
+        np.asarray(pc.is_valid(col), dtype=bool)
+    empty = memoryview(b"")
+    return [mv[offs[i]:offs[i + 1]] if valid[i] else empty
+            for i in range(n)]
 
 
 def add_size(batch: pa.Table, column: str = "content") -> pa.Table:

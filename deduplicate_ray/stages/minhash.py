@@ -55,13 +55,17 @@ def _mix64_inplace(z: np.ndarray) -> np.ndarray:
     return z
 
 
-def shingle_hashes(text: str, k: int) -> np.ndarray:
+def shingle_hashes(text: "str | bytes | memoryview", k: int) -> np.ndarray:
     """Distinct 64-bit hashes of all k-char shingles (utf-8 byte windows).
 
     Texts shorter than k yield one shingle (the whole text); empty text
-    yields a single constant shingle.
+    yields a single constant shingle. Accepts a ``str`` (encoded to
+    utf-8) or any bytes-like view of utf-8 bytes — the signer feeds
+    zero-copy memoryview slices of the arrow data buffer, which are
+    byte-identical to ``str.encode()`` output.
     """
-    b = np.frombuffer(text.encode(), dtype=np.uint8).astype(np.uint64)
+    raw = text.encode() if isinstance(text, str) else text
+    b = np.frombuffer(raw, dtype=np.uint8).astype(np.uint64)
     n = b.size
     if n == 0:
         return _mix64(np.array([0], dtype=np.uint64))
@@ -139,7 +143,10 @@ class MinHashSigner:
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("content").to_pylist()
+        from deduplicate_ray.functions.hashing import _content_bytes
+        # zero-copy utf-8 views of the content column — no per-row
+        # Python string materialization on the signing hot path
+        texts = _content_bytes(batch)
         sig = self.signature_matrix(texts)
         sig_col = pa.FixedSizeListArray.from_arrays(
             pa.array(sig.reshape(-1), pa.uint64()), self.num_perms
