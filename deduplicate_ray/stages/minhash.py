@@ -13,10 +13,9 @@ actor pool. The per-perm mixing constants are built ONCE per actor in
   with strided uint64 ops over the whole byte buffer (no Python loop over
   characters);
 * per-perm minima: a splitmix64-style finalizer applied to
-  ``shingle ^ seed_i`` for each of the 128 perms, broadcast over a
-  concatenated shingle buffer and reduced per-doc with
-  ``np.minimum.reduceat`` — docs are chunked so the (perms x shingles)
-  matrix stays under a fixed memory budget.
+  ``shingle ^ seed_i`` for each of the 128 perms over a concatenated
+  shingle buffer, reduced per-doc with ``np.minimum.reduceat`` — docs
+  are chunked so the buffer stays L1/L2-resident for every pass.
 
 Output schema: ``file_id: string, sig: fixed_size_list<uint64, num_perms>``.
 
@@ -99,15 +98,15 @@ class MinHashSigner:
     def signature_matrix(self, texts: list[str]) -> np.ndarray:
         """(n_docs, num_perms) uint64 signature matrix.
 
-        Layout: docs are chunked so the broadcast (perms x shingles)
-        matrix stays ~4 MB (cache-resident), then ALL perms are mixed in
-        one 2D pass + one segmented ``minimum.reduceat(axis=1)``. The
-        per-perm Python loop this replaces paid numpy dispatch overhead
-        128x per batch (measured 76% of signing time); a single unbounded
-        broadcast matrix is equally wrong at large batches — its
-        multi-hundred-MB temporaries thrash memory. The chunk budget is
-        the middle path: big enough to amortize dispatch, small enough to
-        stay in cache.
+        Layout: docs are chunked so the flat shingle buffer stays
+        L1/L2-resident (~8k elements); each of the 128 per-perm passes
+        (xor-into-scratch + in-place mix + segmented
+        ``minimum.reduceat``) then runs at cache speed regardless of the
+        caller's batch size. Measured on the target box: the same pass
+        over a multi-MB buffer is 10x slower and DRAM-sized buffers are
+        ~100x slower — buffer size, not numpy dispatch count, dominates
+        (a 2D all-perms broadcast variant was tried and lost 3x for
+        exactly this reason).
         """
         out = np.empty((len(texts), self.num_perms), dtype=np.uint64)
         if not texts:
