@@ -33,13 +33,17 @@ def _t(sf_dir: str, name: str, columns=None, split: int = 0) -> rd.Dataset:
     the driver testdata files are single-row-group parquet, which Ray reads
     as ONE block — without the split every downstream stage of that query
     would run in a single task."""
-    ds = rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
     # the testdata parquet carries a `pandas` schema-metadata blob that
     # makes the arrow schema unhashable; Ray's shuffle schema-dedup then
     # logs "Failed to hash the schemas: unhashable type: 'dict'" from
-    # every reduce task — strip it at the read, before any shuffle
-    ds = ds.map_batches(lambda t: t.replace_schema_metadata(None),
-                        batch_format="pyarrow")
+    # every task — pass a pre-stripped schema so even the ReadParquet
+    # blocks carry a clean schema
+    import pyarrow.parquet as pq
+    path = f"{sf_dir}/{name}.parquet"
+    schema = pq.read_schema(path).remove_metadata()
+    if columns:
+        schema = pa.schema([schema.field(c) for c in columns])
+    ds = rd.read_parquet(path, columns=columns, schema=schema)
     if split:
         ds = ds.repartition(split)
     return ds

@@ -24,12 +24,21 @@ def read_corpus(path: str | list[str], columns: list[str] | None = None) -> rd.D
     Stage-2 signer needs only ``(repo, path, commit, content)``; shipping
     ``lang`` too is harmless, but a full-width read for a narrow stage is not.
     """
-    ds = rd.read_parquet(path, columns=columns)
-    # strip writer schema metadata (e.g. a `pandas` blob) — it makes the
-    # arrow schema unhashable and Ray's shuffle schema-dedup logs a
-    # warning per reduce task
-    return ds.map_batches(lambda t: t.replace_schema_metadata(None),
-                          batch_format="pyarrow")
+    # read with a pre-stripped schema: writer metadata (e.g. a `pandas`
+    # blob) makes the arrow schema unhashable, and Ray's shuffle
+    # schema-dedup logs a warning per task — stripping at the reader means
+    # even the ReadParquet blocks themselves carry a clean schema
+    import pyarrow.parquet as pq
+    first = path[0] if isinstance(path, list) else path
+    try:
+        schema = pq.read_schema(first).remove_metadata()
+        if columns:
+            schema = pa.schema([schema.field(c) for c in columns])
+        return rd.read_parquet(path, columns=columns, schema=schema)
+    except (OSError, KeyError):
+        ds = rd.read_parquet(path, columns=columns)
+        return ds.map_batches(lambda t: t.replace_schema_metadata(None),
+                              batch_format="pyarrow")
 
 
 def validate_schema(ds: rd.Dataset) -> rd.Dataset:
