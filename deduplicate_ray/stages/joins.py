@@ -99,6 +99,20 @@ def distinct_keys(keys_ds: rd.Dataset, col: str) -> rd.Dataset:
     ).select_columns([col])
 
 
+def default_num_buckets() -> int:
+    """Cluster-aware join fan-out: ~2 buckets per cluster CPU, floor 16,
+    cap 4096. A fixed B means one bucket = dataset/B inside ONE Arrow join
+    task regardless of cluster size (the round-1 scale flaw); tying B to
+    the cluster keeps the per-task share roughly constant as nodes are
+    added. For inputs much larger than cluster memory, override with
+    ``num_buckets ≈ total_bytes / target_bucket_bytes`` instead."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # pragma: no cover - no Ray session yet
+        cpus = 8
+    return min(4096, max(16, 2 * cpus))
+
+
 def _try_broadcast_keys(keys_ds: rd.Dataset, col: str, limit: int):
     """Fetch up to limit+1 keys in ONE execution (``take`` short-circuits);
     returns the key list if it fits the broadcast budget, else None."""
@@ -110,7 +124,7 @@ def _try_broadcast_keys(keys_ds: rd.Dataset, col: str, limit: int):
 
 def semi_join(ds: rd.Dataset, keys_ds: rd.Dataset, col: str,
               broadcast_limit: int = DEFAULT_BROADCAST_LIMIT,
-              num_partitions: int = 16) -> rd.Dataset:
+              num_partitions: int | None = None) -> rd.Dataset:
     """Rows of ``ds`` whose ``col`` appears in ``keys_ds[col]``."""
     keys = _try_broadcast_keys(keys_ds, col, broadcast_limit)
     if keys is not None:
@@ -121,7 +135,7 @@ def semi_join(ds: rd.Dataset, keys_ds: rd.Dataset, col: str,
 
 def anti_join(ds: rd.Dataset, keys_ds: rd.Dataset, col: str,
               broadcast_limit: int = DEFAULT_BROADCAST_LIMIT,
-              num_partitions: int = 16) -> rd.Dataset:
+              num_partitions: int | None = None) -> rd.Dataset:
     """Rows of ``ds`` whose ``col`` does NOT appear in ``keys_ds[col]``
     (the reference's ``remaining_dupes = all - reviewed`` subtraction,
     ``deduplicate.py:593-631``)."""
@@ -167,17 +181,21 @@ def _to_arrow_type(t) -> pa.DataType:
 
 
 def bucket_join(left: rd.Dataset, right: rd.Dataset, on: str,
-                how: str = "inner", num_buckets: int = 16) -> rd.Dataset:
+                how: str = "inner",
+                num_buckets: int | None = None) -> rd.Dataset:
     """Equi-join two datasets on one key column.
 
     ``how``: 'inner' or 'left'. Non-key column names must be disjoint
     (rename upstream). Result column order: left columns then right value
     columns; result schema is pinned (identical for every output block).
-    The shuffle key is ``hash(key) % num_buckets`` — size ``num_buckets``
-    to the cluster; salt upstream if one key dominates.
+    The shuffle key is ``hash(key) % num_buckets``; the default is
+    cluster-aware (:func:`default_num_buckets`). Salt upstream if one key
+    dominates.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how}")
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
     left_schema = left.schema()
     right_schema = right.schema()
     lcols = list(left_schema.names)
