@@ -100,7 +100,8 @@ def main() -> None:
     sf = _sf_of(SF_DIR)
     # 4M rows/sf: sized so parallel compute dominates the fixed per-stage
     # barrier latency (~15-20 s) at every measured parallelism level
-    n_rows = max(2000, int(4_000_000 * sf))
+    n_rows = int(os.environ.get("DEDUP_BENCH_ROWS", "0")) \
+        or max(2000, int(4_000_000 * sf))
     # best-of-2: identical back-to-back headline runs on this shared box
     # differ by up to ~50% with neighbor load (BASELINE.md measurement
     # noise); the min is the stable estimator of the pipeline's cost
@@ -139,33 +140,46 @@ def scaling() -> None:
     faithful proxy for inter-node scaling; the high pair is reported for
     transparency.
     """
-    def run(ncpu: int) -> dict:
+    def run(ncpu: int, n_rows: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   DEDUP_BENCH_ONCE="1")
+                   DEDUP_BENCH_ONCE="1", DEDUP_BENCH_ROWS=str(n_rows))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True, cwd=os.path.dirname(os.path.abspath(__file__))).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    # per-PAIR corpus sizing: each (N, 4N) pair runs on the same input, but
+    # the input is sized so the HIGH level stays compute-dominated (>= ~4x
+    # the ~15-20 s fixed driver+barrier latency) — at one corpus size for
+    # all levels, the 32-cpu run finishes so fast that fixed latency caps
+    # its measurable efficiency (Amdahl), which mis-reports the *pipeline's*
+    # scaling. Within a pair nothing varies but num_cpus.
+    base_rows = max(2000, int(4_000_000 * _sf_of(SF_DIR)))
+    pair_rows = {(2, 8): base_rows, (8, 32): 3 * base_rows}
+    levels = sorted({(n, r) for (lo, hi), r in pair_rows.items()
+                     for n in (lo, hi)})
     # two INTERLEAVED passes over the levels, min per level: identical
     # back-to-back runs on this shared box differ by up to ~50% with
     # neighbor load, and interleaving spreads a noisy epoch across all
     # levels instead of poisoning one
     res = {}
     for _pass in range(2):
-        for n in (2, 8, 32):
-            r = run(n)
-            if n not in res or r["value"] < res[n]["value"]:
-                res[n] = r
+        for key in levels:
+            n, rows = key
+            r = run(n, rows)
+            if key not in res or r["value"] < res[key]["value"]:
+                res[key] = r
     pairs = []
-    for lo, hi in [(2, 8), (8, 32)]:
-        eff = (res[lo]["value"] / res[hi]["value"]) / (hi / lo)
-        pairs.append({"lo": lo, "hi": hi, f"sec_{lo}": res[lo]["value"],
-                      f"sec_{hi}": res[hi]["value"],
+    for (lo, hi), rows in pair_rows.items():
+        rl, rh = res[(lo, rows)], res[(hi, rows)]
+        eff = (rl["value"] / rh["value"]) / (hi / lo)
+        pairs.append({"lo": lo, "hi": hi, "rows": rows,
+                      f"sec_{lo}": rl["value"], f"sec_{hi}": rh["value"],
                       "scaling_efficiency": round(eff, 3)})
     result = {
-        "rows": res[8]["rows"],
-        "files_per_sec": {str(n): res[n]["files_per_sec"] for n in res},
+        "rows": {f"{lo}->{hi}": r for (lo, hi), r in pair_rows.items()},
+        "files_per_sec": {f"{n}@{r}": res[(n, r)]["files_per_sec"]
+                          for n, r in levels},
         "pairs": pairs,
         "scaling_efficiency": pairs[0]["scaling_efficiency"],  # headline: 2→8
     }
@@ -175,23 +189,27 @@ def scaling() -> None:
         f.write(
             "# Measured scaling (sandbox protocol)\n\n"
             "Same headline job (stage 1+2 dedup over the deterministic\n"
-            f"bench corpus, {res[8]['rows']} rows), fresh `ray.init` processes\n"
-            "per level; TWO interleaved passes over the levels, min per\n"
-            "level (neighbor-load noise on this shared box reaches ~50%\n"
-            "between identical runs — BASELINE.md documents the control).\n"
-            "Efficiency = (T_N / T_4N) / 4; target >= 0.8\n"
+            "bench corpus), fresh `ray.init` processes per level; TWO\n"
+            "interleaved passes over the levels, min per level\n"
+            "(neighbor-load noise on this shared box reaches ~50% between\n"
+            "identical runs — BASELINE.md documents the control). Each\n"
+            "(N, 4N) pair runs on ONE input, sized so the 4N level stays\n"
+            "compute-dominated over the ~15-20 s fixed driver+barrier\n"
+            "latency. Efficiency = (T_N / T_4N) / 4; target >= 0.8\n"
             "(BASELINE.json). On one shared-memory box, cores beyond ~8\n"
             "contend for shared L3/DRAM bandwidth that a real multi-node\n"
             "cluster scales WITH its nodes — the 2->8 pair is the faithful\n"
             "proxy for N->4N *node* scaling; 8->32 is reported for\n"
             "transparency.\n\n"
-            "| num_cpus | seconds | files/sec |\n|---|---|---|\n"
-            + "".join(f"| {n} | {res[n]['value']} | {res[n]['files_per_sec']} |\n"
-                      for n in (2, 8, 32))
+            "| num_cpus | corpus rows | seconds | files/sec |\n|---|---|---|---|\n"
+            + "".join(f"| {n} | {r} | {res[(n, r)]['value']} |"
+                      f" {res[(n, r)]['files_per_sec']} |\n"
+                      for n, r in levels)
             + "\n"
             + "".join(
-                f"- efficiency {p['lo']}->{p['hi']} cpus: "
-                f"**{p['scaling_efficiency']}**\n" for p in pairs))
+                f"- efficiency {p['lo']}->{p['hi']} cpus "
+                f"({p['rows']} rows): **{p['scaling_efficiency']}**\n"
+                for p in pairs))
 
 
 def substring_bench(group_mb: int = 16) -> None:
