@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import logging
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -233,16 +234,14 @@ def _fold_families(fam: rd.Dataset, rep_clusters: rd.Dataset,
     """(file_id, sha256, rep_file_id) x (rep cluster table) → final
     (file_id, cluster_id). One bucketed shuffle on rep_file_id; per-bucket
     logic is fully vectorized pandas (families never straddle buckets)."""
-    import zlib
-
     n_b = cfg.num_partitions
 
     def tag(side: int):
         def f(t: pa.Table) -> pa.Table:
-            reps_col = t.column("rep_file_id").to_pylist()
-            bucket = [zlib.crc32(r.encode()) % n_b for r in reps_col]
+            reps = t.column("rep_file_id").to_numpy(zero_copy_only=False)
+            bucket = (joins.stable_hash(reps) % n_b).astype(np.int32)
             t = t.append_column("_side", pa.array([side] * t.num_rows, pa.int8()))
-            return t.append_column("_bucket", pa.array(bucket, pa.int32()))
+            return t.append_column("_bucket", pa.array(bucket))
         return f
 
     left = fam.select_columns(["file_id", "rep_file_id"]).map_batches(
