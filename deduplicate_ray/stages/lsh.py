@@ -553,11 +553,16 @@ def verify_pairs(edges: rd.Dataset, signatures: rd.Dataset,
             flat = ((flat ^ (flat >> np.uint64(16))
                      ^ (flat >> np.uint64(32)) ^ (flat >> np.uint64(48)))
                     & np.uint64(0xFFFF)).astype(np.uint16)
-            buf = flat.tobytes()
             w = cfg.num_perms * 2
-            blobs = [buf[i * w:(i + 1) * w] for i in range(nrows)]
+            # one binary array straight from the flat buffer: uniform
+            # offsets + the signature bytes, no per-row Python slicing
+            offs = np.arange(0, (nrows + 1) * w, w, dtype=np.int32)
+            blobs = pa.Array.from_buffers(
+                pa.binary(), nrows,
+                [None, pa.py_buffer(offs.tobytes()),
+                 pa.py_buffer(flat.tobytes())])
             return pa.table({side: t.column("file_id"),
-                             f"sig_{side}": pa.array(blobs, pa.binary())})
+                             f"sig_{side}": blobs})
 
         return signatures.map_batches(to_blob, batch_format="pyarrow")
 
@@ -577,17 +582,28 @@ def verify_pairs(edges: rd.Dataset, signatures: rd.Dataset,
         est = np.ones(n, dtype=np.float64)
 
         import pyarrow.compute as pc
-        zero_blob = b"\x00" * (perms * 2)
 
         def to_mat(col) -> tuple[np.ndarray, np.ndarray]:
-            # binary-blob column → (n, perms) matrix + null mask
+            # binary-blob column → (n, perms) matrix + null mask, via one
+            # numpy gather over the shared data buffer (no per-row Python
+            # bytes objects; nulls/short rows read as zero signatures)
             arr = col.combine_chunks()
-            valid = np.asarray(pc.is_valid(arr), dtype=bool)
-            blobs = arr.to_pylist()
-            joined_buf = b"".join(
-                (b if b is not None and len(b) == perms * 2 else zero_blob)
-                for b in blobs)
-            m = np.frombuffer(joined_buf, dtype=np.uint16).reshape(n, perms)
+            valid = (np.ones(n, dtype=bool) if arr.null_count == 0
+                     else np.asarray(pc.is_valid(arr), dtype=bool))
+            width = np.int64 if pa.types.is_large_binary(arr.type) \
+                else np.int32
+            bufs = arr.buffers()
+            offs = np.frombuffer(
+                bufs[1], dtype=width, count=n + 1,
+                offset=arr.offset * np.dtype(width).itemsize).astype(np.int64)
+            data = (np.frombuffer(bufs[2], dtype=np.uint8)
+                    if bufs[2] is not None else np.zeros(0, np.uint8))
+            good = valid & (np.diff(offs) == perms * 2)
+            m = np.zeros((n, perms), dtype=np.uint16)
+            if good.any():
+                idx = (offs[:-1][good, None]
+                       + np.arange(perms * 2, dtype=np.int64)[None, :])
+                m[good] = data[idx].view(np.uint16)
             return m, valid
 
         ma, va = to_mat(batch.column("sig_src"))
