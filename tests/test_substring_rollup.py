@@ -147,3 +147,44 @@ def test_keeper_deterministic():
     # tie between dirs a and b -> lexicographically smallest dir kept
     kept = [r for r in k1 if r["is_kept"]]
     assert kept[0]["dir"] == "r/a"
+
+
+def test_dir_rollup_matches_bruteforce_on_random_paths():
+    """Property check of the two-level rollup (vectorized dirname reduce +
+    dir-relation ancestor explode) against a per-file ancestor_prefixes
+    brute force: multiple repos, root-level files, deep paths, and files
+    whose names contain regex metacharacters."""
+    import collections
+    import random
+
+    rng = random.Random(7)
+    segs = ["a", "b", "c.d", "e-f", "g h", "x+y"]
+    rows = []
+    for i in range(200):
+        repo = f"repo{rng.randrange(3)}"
+        depth = rng.randrange(0, 5)
+        d = "/".join(rng.choice(segs) for _ in range(depth))
+        name = f"f{i % 37}.txt"            # reuse names -> cross-dir dups
+        path = f"{d}/{name}" if d else name
+        content = f"payload-{i % 23}" * 10  # 23 content families -> dups
+        rows.append((repo, path, content))
+    t = _tbl(rows)
+
+    hashes = exact.hash_corpus(rd.from_arrow(t))
+    members = exact.exact_members(hashes)
+    got = {r["dir"]: r for r in rollup.dir_rollup(members, hashes).take_all()}
+
+    dup_ids = {r["file_id"] for r in members.take_all()}
+    exp = collections.defaultdict(lambda: [0, 0, 0])  # total, dupe, bytes
+    for r in hashes.take_all():
+        for pref in rollup.ancestor_prefixes(r["repo"], r["path"]):
+            exp[pref][0] += 1
+            exp[pref][1] += int(r["file_id"] in dup_ids)
+            exp[pref][2] += r["size"]
+
+    assert set(got) == set(exp)
+    for d, (total, dupe, size) in exp.items():
+        assert got[d]["total_count"] == total, d
+        assert got[d]["dupe_count"] == dupe, d
+        assert got[d]["bytes"] == size, d
+        assert got[d]["uniq_count"] == total - dupe, d
