@@ -160,8 +160,12 @@ def near_dup_clusters(corpus: rd.Dataset, cfg: PipelineConfig | None = None,
         # fused fast path (one narrow int shuffle, inline verify) while the
         # signature relation fits the broadcast budget; else the modular
         # plan: bands stay lazy (explode is a cheap vector op over the
-        # pinned signatures), verify BEFORE the global pair dedup so only
-        # survivors ride the dedup shuffle.
+        # pinned signatures), and the global pair dedup runs BEFORE
+        # verification — a pair surfaces from ~O(bands) buckets (measured
+        # 20x duplication on the dup-rich bench corpus) and the MinHash
+        # estimate is band-independent, so deduping the cheap (src, dst)
+        # string relation first shrinks the expensive signature-join
+        # verify by the duplication factor with identical output.
         fast = lsh.fused_candidate_edges(sigs, cfg)
         if fast is not None:
             return fast
@@ -169,7 +173,8 @@ def near_dup_clusters(corpus: rd.Dataset, cfg: PipelineConfig | None = None,
             else minhash.explode_bands(sigs, cfg)
         e = lsh.candidate_pairs(bands, cfg,
                                 n_rows_hint=sigs.count() * cfg.lsh_bands)
-        return lsh.dedup_edges(lsh.verify_pairs(e, sigs, cfg))
+        return lsh.verify_pairs(
+            lsh.dedup_edges(e, cfg.num_partitions), sigs, cfg)
 
     # edges are always pinned (parquet checkpoint or object-store
     # materialize): union-find probes the pinned relation with a

@@ -402,8 +402,10 @@ def candidate_pairs(bands: rd.Dataset, cfg: PipelineConfig | None = None,
         out = pd.DataFrame({"src": np.concatenate(srcs),
                             "dst": np.concatenate(dsts)})
         # partition-local dedup (same pair from several bands of this
-        # partition); the cheap global dedup runs AFTER verification, on the
-        # far smaller survivor set (see dedup_edges / verify_pairs ordering)
+        # partition); the global dedup runs BEFORE verification — a pair
+        # recurs from ~O(bands) buckets, and deduping the narrow string
+        # relation is far cheaper than re-verifying each recurrence
+        # (see near_dup_clusters / dedup_edges ordering)
         return out.drop_duplicates()
 
     pairs = parted.groupby("_p").map_groups(emit_partition,
@@ -450,7 +452,8 @@ def truncation_metrics(bands: rd.Dataset, cfg: PipelineConfig | None = None) -> 
 
 def verify_pairs(edges: rd.Dataset, signatures: rd.Dataset,
                  cfg: PipelineConfig | None = None,
-                 broadcast_limit: int | None = None) -> rd.Dataset:
+                 broadcast_limit: int | None = None,
+                 _pruned: bool = False) -> rd.Dataset:
     """Drop candidate pairs whose MinHash Jaccard estimate is below
     ``cfg.verify_threshold``. Output adds ``jaccard_est: double``."""
     cfg = cfg or PipelineConfig()
@@ -463,6 +466,30 @@ def verify_pairs(edges: rd.Dataset, signatures: rd.Dataset,
             batch_format="pyarrow")
 
     n_sigs = signatures.count()
+    if n_sigs > broadcast_limit and not _pruned:
+        # Verification only needs signatures of docs that appear in at
+        # least one candidate pair — on a dup-minority corpus that is a
+        # small fraction of the corpus. Prune with a semi-join on the edge
+        # endpoints BEFORE choosing a physical plan: the pruned relation
+        # usually re-fits the broadcast budget (one map_batches pass, no
+        # shuffle), and even when it doesn't, the bucketed blob joins below
+        # run over the pruned relation instead of the full corpus
+        # (measured 130 s -> ~15 s for a 943k-sig / 160k-edge verify; the
+        # two sort-shuffles were moving 2x943k signature blobs for 320k
+        # useful rows).
+        from deduplicate_ray.stages import joins
+        edges = edges.materialize()   # consumed twice: endpoints + verify
+        ends = edges.select_columns(["src"]).map_batches(
+            lambda t: t.rename_columns(["file_id"]),
+            batch_format="pyarrow").union(
+            edges.select_columns(["dst"]).map_batches(
+                lambda t: t.rename_columns(["file_id"]),
+                batch_format="pyarrow"))
+        pruned = joins.semi_join(
+            signatures, joins.distinct_keys(ends, "file_id"), "file_id",
+            num_partitions=cfg.num_partitions).materialize()
+        return verify_pairs(edges, pruned, cfg, broadcast_limit,
+                            _pruned=True)
     if n_sigs <= broadcast_limit:
         # parallel object-store fetch (to_arrow_refs), not a serial
         # iter_batches stream through the driver (round-1: the driver-side
