@@ -230,6 +230,34 @@ def test_scale_paths_match_fast_paths():
     assert fast, "fixture must produce clusters"
 
 
+def test_verify_prune_refits_broadcast():
+    """When the signature relation exceeds the broadcast budget, verify
+    prunes it to the candidate-edge endpoints and re-checks the budget —
+    a budget between |endpoints| and |sigs| must take the pruned-broadcast
+    plan and emit exactly the full-broadcast plan's edges."""
+    fx = fx_near_dup()
+    cfg = PipelineConfig(verify_threshold=0.5)
+    hashed = exact.hash_corpus(rd.from_arrow(fx.table()), cfg,
+                               keep_content=True).materialize()
+    sigs = minhash.sign_corpus(hashed, cfg).materialize()
+    bands = minhash.explode_bands(sigs, cfg)
+    cand = lsh.dedup_edges(lsh.candidate_pairs(bands, cfg)).materialize()
+    n_ends = len({r["src"] for r in cand.take_all()}
+                 | {r["dst"] for r in cand.take_all()})
+    n_sigs = sigs.count()
+    assert n_ends < n_sigs, "fixture needs docs outside any candidate pair"
+
+    full = {(r["src"], r["dst"])
+            for r in lsh.verify_pairs(cand, sigs, cfg).take_all()}
+    pruned = {(r["src"], r["dst"]) for r in lsh.verify_pairs(
+        cand, sigs, cfg, broadcast_limit=n_ends).take_all()}
+    joined = {(r["src"], r["dst"]) for r in lsh.verify_pairs(
+        cand, sigs, cfg, broadcast_limit=0).take_all()}
+    assert pruned == full
+    assert joined == full
+    assert full, "fixture must produce verified edges"
+
+
 def test_assign_all_total_assignment():
     """assign_all gives EVERY corpus row a cluster_id: duplicate-family
     members share their cluster, singletons self-label with their own
