@@ -231,6 +231,11 @@ def bridge_edges(salted: rd.Dataset) -> rd.Dataset:
 # sort-shuffle census runs instead
 _DRIVER_CENSUS_LIMIT = 50_000_000
 
+# max edge rows whose endpoint set is deduped driver-side (strings pulled
+# straight off the pinned edge blocks — no extra execution); past this the
+# distributed distinct-keys shuffle runs instead
+_DRIVER_ENDPOINT_LIMIT = 20_000_000
+
 
 def _census_keys(bands: rd.Dataset, cfg: PipelineConfig,
                  n_rows_hint: int | None = None
@@ -479,15 +484,38 @@ def verify_pairs(edges: rd.Dataset, signatures: rd.Dataset,
         # useful rows).
         from deduplicate_ray.stages import joins
         edges = edges.materialize()   # consumed twice: endpoints + verify
-        ends = edges.select_columns(["src"]).map_batches(
-            lambda t: t.rename_columns(["file_id"]),
-            batch_format="pyarrow").union(
-            edges.select_columns(["dst"]).map_batches(
+        n_edges = edges.count()       # metadata-only on the pinned relation
+        if n_edges <= _DRIVER_ENDPOINT_LIMIT:
+            # endpoint distinct straight off the pinned edge blocks: one
+            # driver concat + C++ unique (sub-second at millions of edges)
+            # instead of a distributed groupby shuffle + take() execution —
+            # two full barriers saved at every parallelism level
+            import pyarrow.compute as _pc
+            # to_arrow_refs on the pinned relation is free (no projection
+            # execution); the src/dst column slices are zero-copy
+            blocks = [b for b in ray.get(edges.to_arrow_refs())
+                      if b.num_rows]
+            if not blocks:
+                return edges.map_batches(
+                    lambda t: t.append_column(
+                        "jaccard_est", pa.array([], pa.float64())),
+                    batch_format="pyarrow")
+            ends_arr = pa.concat_arrays(
+                [b.column("src").combine_chunks() for b in blocks]
+                + [b.column("dst").combine_chunks() for b in blocks])
+            endpoint_keys = _pc.unique(ends_arr).to_pylist()
+            pruned = joins._broadcast_filter(
+                signatures, endpoint_keys, "file_id", keep=True).materialize()
+        else:
+            ends = edges.select_columns(["src"]).map_batches(
                 lambda t: t.rename_columns(["file_id"]),
-                batch_format="pyarrow"))
-        pruned = joins.semi_join(
-            signatures, joins.distinct_keys(ends, "file_id"), "file_id",
-            num_partitions=cfg.num_partitions).materialize()
+                batch_format="pyarrow").union(
+                edges.select_columns(["dst"]).map_batches(
+                    lambda t: t.rename_columns(["file_id"]),
+                    batch_format="pyarrow"))
+            pruned = joins.semi_join(
+                signatures, joins.distinct_keys(ends, "file_id"), "file_id",
+                num_partitions=cfg.num_partitions).materialize()
         return verify_pairs(edges, pruned, cfg, broadcast_limit,
                             _pruned=True)
     if n_sigs <= broadcast_limit:
