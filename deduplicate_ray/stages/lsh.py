@@ -226,10 +226,11 @@ def bridge_edges(salted: rd.Dataset) -> rd.Dataset:
         star, batch_format="pandas")
 
 
-# max band rows pulled to the driver for the single-threaded census
-# (~8 B/row ≈ 400 MB at the limit); past this the distributed
-# sort-shuffle census runs instead
-_DRIVER_CENSUS_LIMIT = 50_000_000
+# max band rows pulled to the driver for the single-threaded census;
+# past this the parallel exchange census runs instead (the driver
+# np.unique is Amdahl serial time — 15 s at 30M keys — so the limit is
+# set where the exchange's task overhead and the driver sort cross over)
+_DRIVER_CENSUS_LIMIT = 2_000_000
 
 # max edge rows whose endpoint set is deduped driver-side (strings pulled
 # straight off the pinned edge blocks — no extra execution); past this the
@@ -244,10 +245,12 @@ def _census_keys(bands: rd.Dataset, cfg: PipelineConfig,
 
     Driver path (≤ :data:`_DRIVER_CENSUS_LIMIT` band rows): project the
     mixed 64-bit bucket key per batch (distributed, vectorized), fetch the
-    int columns in parallel and count with one ``np.unique`` — no
-    all-to-all. Measured ~4 s vs ~30 s for the sort-based shuffle census
-    at 10M band rows / 32 cpus; at cluster scale the distributed census
-    takes over past the limit.
+    int columns in parallel and count with one ``np.unique`` — cheapest at
+    test scale. Past the limit the exchange census runs: per-block
+    unique+count map-side combine, hash-range reduce, driver only sorts
+    the multi-bucket survivors (``stages.exchange.key_census`` — replaces
+    both the 15 s driver ``np.unique`` at 30M keys and the old sort-based
+    shuffle census).
     """
     n_rows = n_rows_hint if n_rows_hint is not None else bands.count()
     if n_rows <= _DRIVER_CENSUS_LIMIT:
@@ -267,11 +270,14 @@ def _census_keys(bands: rd.Dataset, cfg: PipelineConfig,
         multi = cnt >= 2
         return uk[multi], cnt[multi].astype(np.int64)
 
-    df = bucket_census(bands, cfg)
-    keys = _mix_keys(df["band_hash"].to_numpy(dtype=np.int64),
-                     df["band_id"].to_numpy(dtype=np.int64))
-    order = np.argsort(keys)
-    return keys[order], df["n"].to_numpy(dtype=np.int64)[order]
+    from deduplicate_ray.stages.exchange import key_census
+
+    def key_fn(t: pa.Table) -> np.ndarray:
+        return _mix_keys(_int_col(t, "band_hash").astype(np.int64),
+                         _int_col(t, "band_id").astype(np.int64))
+
+    return key_census(bands.select_columns(["band_id", "band_hash"]),
+                      key_fn, n_parts=cfg.num_partitions * 4, min_count=2)
 
 
 def candidate_pairs(bands: rd.Dataset, cfg: PipelineConfig | None = None,
@@ -362,9 +368,15 @@ def candidate_pairs(bands: rd.Dataset, cfg: PipelineConfig | None = None,
     max_n = cfg.max_bucket_pairs
     n_parts = cfg.num_partitions * 4
 
-    parted = salted.map_batches(
-        lambda t: _partition_col(t, n_parts, with_salt=True),
-        batch_format="pyarrow")
+    def part_fn(t: pa.Table) -> np.ndarray:
+        # full (band, salt) bucket key — whole buckets stay together
+        bh = _int_col(t, "band_hash").astype(np.int64)
+        bid = _int_col(t, "band_id").astype(np.int64)
+        salt = _int_col(t, "salt").astype(np.int64)
+        mix = (bh.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+               ^ bid.view(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+               ^ salt.view(np.uint64) * np.uint64(0x165667B19E3779F9))
+        return (mix % np.uint64(n_parts)).astype(np.int64)
 
     def emit_partition(g: pd.DataFrame) -> pd.DataFrame:
         # Vectorized bucket grouping: one lexsort on the combined 64-bit
@@ -413,35 +425,52 @@ def candidate_pairs(bands: rd.Dataset, cfg: PipelineConfig | None = None,
         # (see near_dup_clusters / dedup_edges ordering)
         return out.drop_duplicates()
 
-    pairs = parted.groupby("_p").map_groups(emit_partition,
-                                            batch_format="pandas")
+    def emit_reduce(t: pa.Table) -> pa.Table:
+        # one whole partition (MANY complete buckets) per call; pinned
+        # (src, dst) string schema so every exchange output block unions
+        # cleanly with bridge edges
+        if t.num_rows == 0 or "file_id" not in t.schema.names:
+            return pa.table({"src": pa.array([], pa.string()),
+                             "dst": pa.array([], pa.string())})
+        df = emit_partition(t.to_pandas())
+        return pa.table({"src": pa.array(df["src"].to_numpy(), pa.string()),
+                         "dst": pa.array(df["dst"].to_numpy(), pa.string())})
+
+    # two-stage hash exchange on the precomputed bucket-key partition id
+    # (stages.exchange): Ray's groupby would SORT the whole band relation
+    # globally just to co-locate buckets — measured 24.5 s -> ~8 s at 6.2M
+    # band rows / 32 cpus
+    from deduplicate_ray.stages.exchange import exchange
+    pairs = exchange(salted, part_fn, emit_reduce, n_parts)
     if not any_salted:
         return pairs
     return pairs.union(bridge_edges(salted))
 
 
 def dedup_edges(edges: rd.Dataset, num_partitions: int = 16) -> rd.Dataset:
-    """Collapse multi-band duplicates of the same pair: hash-partition on
-    the pair key (one int32 shuffle key) and ``drop_duplicates`` per
-    partition — cheaper than a sort-based groupby over two string columns
-    (round-1: ~9 s for a 1M-pair relation emitting 50k rows)."""
+    """Collapse multi-band duplicates of the same pair: hash-exchange on
+    the pair key and ``drop_duplicates`` per partition. Uses the raw-task
+    exchange (``stages.exchange``) — Ray's sort-based groupby spent 14.3 s
+    sorting a 3.2M-pair relation whose per-partition dedup is <1 s."""
     n_parts = num_partitions * 4
 
-    def part(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t.append_column("_p", pa.array([], pa.int32()))
+    def part_fn(t: pa.Table) -> np.ndarray:
         src = t.column("src").combine_chunks().to_numpy(zero_copy_only=False)
         dst = t.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
         h = stable_hash(src) * np.uint64(31) + stable_hash(dst)
-        return t.append_column(
-            "_p", pa.array((h % np.uint64(n_parts)).astype(np.int32)))
+        return (h % np.uint64(n_parts)).astype(np.int64)
 
-    def drop_dups(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(subset=["src", "dst"])[["src", "dst"]]
+    def drop_dups(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "src" not in t.schema.names:
+            return pa.table({"src": pa.array([], pa.string()),
+                             "dst": pa.array([], pa.string())})
+        df = t.to_pandas().drop_duplicates(subset=["src", "dst"])
+        return pa.table({"src": pa.array(df["src"].to_numpy(), pa.string()),
+                         "dst": pa.array(df["dst"].to_numpy(), pa.string())})
 
-    return edges.select_columns(["src", "dst"]).map_batches(
-        part, batch_format="pyarrow").groupby("_p").map_groups(
-        drop_dups, batch_format="pandas")
+    from deduplicate_ray.stages.exchange import exchange
+    return exchange(edges.select_columns(["src", "dst"]),
+                    part_fn, drop_dups, n_parts)
 
 
 def truncation_metrics(bands: rd.Dataset, cfg: PipelineConfig | None = None) -> dict:
