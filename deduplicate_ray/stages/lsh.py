@@ -847,8 +847,7 @@ def fused_candidate_edges(sigs: rd.Dataset, cfg: PipelineConfig | None = None,
         out_empty = pa.table({"gkey": pa.array([], pa.int64()),
                               "key": pa.array([], pa.int64()),
                               "salt": pa.array([], pa.int32()),
-                              "idx": pa.array([], pa.int32()),
-                              "_p": pa.array([], pa.int32())})
+                              "idx": pa.array([], pa.int32())})
         if n == 0 or not len(keys_):
             return out_empty
         keys = np.asarray(batch.column("bh").combine_chunks().flatten()) \
@@ -870,12 +869,10 @@ def fused_candidate_edges(sigs: rd.Dataset, cfg: PipelineConfig | None = None,
             salts[hot] = (1 + (h % k[hot].astype(np.uint64))).astype(np.int32)
         gkey = (keys.view(np.uint64)
                 ^ salts.astype(np.uint64) * salt_mix).view(np.int64)
-        part = (gkey.view(np.uint64) % np.uint64(n_parts)).astype(np.int32)
         return pa.table({"gkey": pa.array(gkey),
                          "key": pa.array(keys),
                          "salt": pa.array(salts),
-                         "idx": pa.array(idxr.astype(np.int32)),
-                         "_p": pa.array(part)})
+                         "idx": pa.array(idxr.astype(np.int32))})
 
     def emit_verify(g: pd.DataFrame) -> pd.DataFrame:
         """One partition (many whole buckets) → verified int edges +
@@ -944,9 +941,33 @@ def fused_candidate_edges(sigs: rd.Dataset, cfg: PipelineConfig | None = None,
     # large project batches: pc.index_in rebuilds its value-set hash table
     # per call, so tiny batches would pay the O(n_sigs) build hundreds of
     # times (307 tasks x ~0.2 s at 314k sigs with the 1024-row default)
-    parts = prepped.map_batches(project, batch_format="pyarrow",
-                                batch_size=65536) \
-        .groupby("_p").map_groups(emit_verify, batch_format="pandas")
+    projected = prepped.map_batches(project, batch_format="pyarrow",
+                                    batch_size=65536)
+
+    def fused_part(t: pa.Table) -> np.ndarray:
+        g = t.column("gkey").combine_chunks().to_numpy(zero_copy_only=False)
+        return (g.view(np.uint64) % np.uint64(n_parts)).astype(np.int64)
+
+    def fused_reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "gkey" not in t.schema.names:
+            return pa.table({
+                "src": pa.array([], pa.int64()),
+                "dst": pa.array([], pa.int64()),
+                "jaccard_est": pa.array([], pa.float64()),
+                "bkey": pa.array([], pa.int64())})
+        df = emit_verify(t.to_pandas())
+        return pa.table({
+            "src": pa.array(df["src"].to_numpy(), pa.int64()),
+            "dst": pa.array(df["dst"].to_numpy(), pa.int64()),
+            "jaccard_est": pa.array(df["jaccard_est"].to_numpy(),
+                                    pa.float64()),
+            "bkey": pa.array(df["bkey"].to_numpy(), pa.int64())})
+
+    # same raw-task hash exchange as the modular plan (stages.exchange):
+    # the single fused shuffle moves only multi-bucket int rows, and a
+    # sort-based groupby would order them globally for nothing
+    from deduplicate_ray.stages.exchange import exchange
+    parts = exchange(projected, fused_part, fused_reduce, n_parts)
     out_blocks = [b for b in ray.get(parts.to_arrow_refs()) if b.num_rows]
     _lap("fused:shuffle+emit")
     if not out_blocks:

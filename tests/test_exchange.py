@@ -1,0 +1,93 @@
+"""Unit tests for the two-stage hash exchange (stages/exchange.py)."""
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from deduplicate_ray.stages import exchange as ex
+
+
+def _table(n: int, start: int = 0) -> pa.Table:
+    ids = np.arange(start, start + n, dtype=np.int64)
+    return pa.table({"k": ids % 7, "v": ids})
+
+
+def test_exchange_preserves_rows_and_isolates_partitions():
+    blocks = [ray.put(_table(100, 0)), ray.put(_table(100, 100)),
+              ray.put(_table(37, 200))]
+    n_parts = 5
+
+    def part_fn(t):
+        return np.asarray(t.column("k")) % n_parts
+
+    seen_parts = []
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        # each reduce call must see a SINGLE partition: all rows of any
+        # key it holds, and no key shared with another call
+        ks = set(np.asarray(t.column("k")).tolist())
+        seen_parts.append(ks)
+        return t
+
+    out = ex.exchange(blocks, part_fn, reduce_fn, n_parts)
+    rows = out.take_all()
+    assert sorted(r["v"] for r in rows) == list(range(237))
+    # partition isolation: every key's pid set is a singleton across calls
+    all_keys = {}
+    for i, ks in enumerate(seen_parts):
+        for k in ks:
+            assert all_keys.setdefault(k, i) == i, \
+                f"key {k} appeared in two reduce calls"
+
+
+def test_exchange_out_of_range_pid_is_wrapped_not_dropped():
+    blocks = [ray.put(_table(50))]
+
+    def part_fn(t):
+        # deliberately exceed n_parts — exchange must mod, not drop
+        return np.asarray(t.column("v"))
+
+    out = ex.exchange(blocks, part_fn, lambda t: t, 3)
+    assert len(out.take_all()) == 50
+
+
+def test_exchange_accepts_dataset_and_coalesces_maps():
+    ds = rd.from_arrow(_table(500)).repartition(10)
+    out = ex.exchange(ds, lambda t: np.asarray(t.column("k")) % 4,
+                      lambda t: t, 4, max_map_tasks=3)
+    assert sorted(r["v"] for r in out.take_all()) == list(range(500))
+
+
+def test_exchange_empty_partitions_get_schema():
+    # all rows land in partition 0; partitions 1..3 are empty and must
+    # still reach reduce_fn with the right schema
+    blocks = [ray.put(_table(20))]
+    out = ex.exchange(blocks, lambda t: np.zeros(t.num_rows, np.int64),
+                      lambda t: t, 4)
+    assert out.count() == 20
+    assert set(out.schema().names) == {"k", "v"}
+
+
+def test_key_census_matches_driver_unique():
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 300, 5000).astype(np.int64)
+    blocks = [ray.put(pa.table({"key": keys[i::4]})) for i in range(4)]
+
+    got_k, got_c = ex.key_census(
+        blocks, lambda t: np.asarray(t.column("key")), n_parts=8,
+        min_count=2)
+    uk, cnt = np.unique(keys, return_counts=True)
+    multi = cnt >= 2
+    assert np.array_equal(got_k, uk[multi])
+    assert np.array_equal(got_c, cnt[multi])
+
+
+def test_key_census_min_count_and_empty():
+    blocks = [ray.put(pa.table({"key": np.array([1, 1, 1, 2, 2, 3],
+                                                np.int64)}))]
+    k, c = ex.key_census(blocks, lambda t: np.asarray(t.column("key")),
+                         n_parts=2, min_count=3)
+    assert k.tolist() == [1] and c.tolist() == [3]
+    k, c = ex.key_census([], lambda t: None, n_parts=2)
+    assert k.size == 0 and c.size == 0
