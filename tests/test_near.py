@@ -277,3 +277,27 @@ def test_assign_all_total_assignment():
     assert set(total) == {fa, fb, fs}
     assert total[fa] == total[fb]
     assert total[fs] == fs
+
+
+def test_minhash_estimator_unbiased_over_many_pairs():
+    """The multiply-add per-perm hash family must stay an UNBIASED
+    Jaccard estimator (a structured family can pass the per-pair 4-sigma
+    bound while being systematically high or low). Over 40 random pairs
+    the mean error must sit within 3 standard errors of zero and the
+    spread near the binomial sigma."""
+    rng = np.random.Generator(np.random.PCG64(99))
+    signer = minhash.MinHashSigner(PipelineConfig())
+    errs = []
+    for _ in range(40):
+        n = int(rng.integers(300, 3000))
+        base = "".join(chr(97 + int(c)) for c in rng.integers(0, 26, n))
+        cut = int(n * float(rng.uniform(0.3, 0.95)))
+        other = base[:cut] + "".join(
+            chr(97 + int(c)) for c in rng.integers(0, 26, n - cut))
+        j = true_jaccard(base, other)
+        sig = signer.signature_matrix([base, other])
+        errs.append(minhash.jaccard_estimate(sig[0], sig[1]) - j)
+    errs = np.array(errs)
+    se = 0.045 / np.sqrt(len(errs))   # sigma <= 0.5/sqrt(128) ~ 0.044
+    assert abs(errs.mean()) < 3 * se, errs.mean()
+    assert errs.std() < 0.08, errs.std()
