@@ -153,9 +153,11 @@ def scaling() -> None:
     # the ~15-20 s fixed driver+barrier latency) — at one corpus size for
     # all levels, the 32-cpu run finishes so fast that fixed latency caps
     # its measurable efficiency (Amdahl), which mis-reports the *pipeline's*
-    # scaling. Within a pair nothing varies but num_cpus.
+    # scaling. Within a pair nothing varies but num_cpus. Sizes were
+    # re-tripled after the round-2 signer speedup (3.25x) put the high
+    # levels back under the latency floor (T8 40.8 s at 400k rows).
     base_rows = max(2000, int(4_000_000 * _sf_of(SF_DIR)))
-    pair_rows = {(2, 8): base_rows, (8, 32): 3 * base_rows}
+    pair_rows = {(2, 8): 3 * base_rows, (8, 32): 9 * base_rows}
     levels = sorted({(n, r) for (lo, hi), r in pair_rows.items()
                      for n in (lo, hi)})
     # two INTERLEAVED passes over the levels, min per level: identical

@@ -248,10 +248,21 @@ def bucket_join(left: rd.Dataset, right: rd.Dataset, on: str,
     def merge(g: pa.Table) -> pa.Table:
         # Arrow's C++ hash join per bucket: type-preserving (left-join nulls
         # stay typed), no pandas round trip.
+        if g.num_rows == 0 or "_side" not in g.schema.names:
+            return out_schema.empty_table()
         lmask = pc.equal(g.column("_side"), 0)
         lpart = g.filter(lmask).select(lcols)
         rpart = g.filter(pc.invert(lmask)).select([on] + rcols)
         out = lpart.join(rpart, keys=on, join_type=join_type)
         return out.select(all_cols).cast(out_schema)
 
-    return u.groupby("_bucket").map_groups(merge, batch_format="pyarrow")
+    # raw-task hash exchange on the precomputed bucket id (stages.exchange):
+    # a sort-based groupby would order both tagged sides globally just to
+    # co-locate buckets
+    from deduplicate_ray.stages.exchange import exchange
+
+    def part_fn(t: pa.Table) -> np.ndarray:
+        return t.column("_bucket").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+
+    return exchange(u, part_fn, merge, num_buckets)
