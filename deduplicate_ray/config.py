@@ -95,6 +95,16 @@ class PipelineConfig:
     #: candidate_pairs → joined verify). Tests set 0 to force the scale
     #: path end-to-end.
     broadcast_limit: int = 500_000
+    #: Broadcast budget (rep ids) for the Stage-1 representative FILTER.
+    #: Deliberately much higher than the narrow-join broadcast limits:
+    #: the alternative plan semi-joins the content-carrying relation,
+    #: i.e. shuffles the whole corpus payload through the object store
+    #: (measured: a 3.6M-row corpus spilled 4.6+ GB at 56 MB/s where the
+    #: broadcast filter moves ~200 MB of ids once). ~70 B/id → the
+    #: default is ~1.4 GB of broadcast state, the right trade up to
+    #: O(10^7) distinct contents; beyond it the content shuffle is
+    #: genuinely unavoidable and runs bucketed.
+    rep_broadcast_limit: int = 20_000_000
     checkpoint_dir: str | None = None   # stage checkpoints live here when set
     resume: bool = True             # skip stages with a complete, matching manifest
     #: Identity of the INPUT corpus (set via

@@ -137,11 +137,38 @@ def near_dup_clusters(corpus: rd.Dataset, cfg: PipelineConfig | None = None,
 
             reps = hashed.map_batches(keep_reps, batch_format="pyarrow")
         else:
+            # Distributed election on the NARROW relation, then a broadcast
+            # id filter over the pinned content blocks: the semi-join
+            # fallback below shuffles the content payload itself — at 3.6M
+            # rows that spilled gigabytes through the object store where
+            # the broadcast moves ~200 MB of ids exactly once.
+            import ray as _ray
             rep_ids = exact.representatives(narrow).select_columns(
-                ["rep_file_id"]).map_batches(
-                lambda t: t.rename_columns(["file_id"]), batch_format="pyarrow")
-            reps = joins.semi_join(hashed, rep_ids, "file_id",
-                                   num_partitions=cfg.num_partitions)
+                ["rep_file_id"]).materialize()
+            if rep_ids.count() <= cfg.rep_broadcast_limit:
+                id_blocks = [b for b in _ray.get(rep_ids.to_arrow_refs())
+                             if b.num_rows]
+                ids_arr = pa.concat_arrays(
+                    [b.column("rep_file_id").combine_chunks()
+                     for b in id_blocks]) if id_blocks \
+                    else pa.array([], pa.string())
+                rep_ref = _ray.put(ids_arr)
+
+                def keep_reps_bcast(t: pa.Table) -> pa.Table:
+                    vs = joins._cached_value_set(rep_ref)
+                    mask = pc.fill_null(
+                        pc.is_in(t.column("file_id"), value_set=vs), False)
+                    return t.filter(mask)
+
+                reps = hashed.map_batches(keep_reps_bcast,
+                                          batch_format="pyarrow")
+            else:
+                reps = joins.semi_join(
+                    hashed,
+                    rep_ids.map_batches(
+                        lambda t: t.rename_columns(["file_id"]),
+                        batch_format="pyarrow"),
+                    "file_id", num_partitions=cfg.num_partitions)
     else:
         reps = hashed
 

@@ -22,6 +22,7 @@ Scale notes: the shuffle key is the hash itself (uniform by construction).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -84,16 +85,39 @@ def exact_members(hashes: rd.Dataset, cfg: PipelineConfig | None = None,
     )
 
 
-def representatives(hashes: rd.Dataset, key: str = "sha256") -> rd.Dataset:
+def representatives(hashes: rd.Dataset, key: str = "sha256",
+                    num_partitions: int | None = None) -> rd.Dataset:
     """Per-group canonical row election: min ``file_id`` per hash — the
     deterministic analog of the reference's keeper tiebreaks (O2,
     ``deduplicate.py:269-323``) for pipeline-internal use. Output:
-    ``(key, rep_file_id)``."""
-    return (
-        hashes.select_columns([key, "file_id"])
-        .groupby(key)
-        .aggregate(Min("file_id", alias_name="rep_file_id"))
-    )
+    ``(key, rep_file_id)``.
+
+    Physical plan: hash exchange on ``key`` + one vectorized pandas
+    ``groupby.min`` per partition (``stages.exchange``) — Ray's sort-based
+    aggregate ordered the whole narrow relation globally for a per-key
+    min (part of a 99 s meta+reps phase at 3.6M rows / 8 cpus)."""
+    from deduplicate_ray.stages.exchange import exchange
+    from deduplicate_ray.stages.joins import default_num_buckets, stable_hash
+
+    if num_partitions is None:
+        num_partitions = default_num_buckets()
+
+    def part_fn(t: pa.Table) -> np.ndarray:
+        ks = t.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        return (stable_hash(ks) % np.uint64(num_partitions)).astype(np.int64)
+
+    def min_per_key(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key not in t.schema.names:
+            return pa.table({key: pa.array([], pa.string()),
+                             "rep_file_id": pa.array([], pa.string())})
+        gb = t.to_pandas().groupby(key, sort=False)["file_id"].min() \
+            .reset_index()
+        return pa.table({key: pa.array(gb[key].to_numpy(), pa.string()),
+                         "rep_file_id": pa.array(gb["file_id"].to_numpy(),
+                                                 pa.string())})
+
+    return exchange(hashes.select_columns([key, "file_id"]),
+                    part_fn, min_per_key, num_partitions)
 
 
 def collapse_to_representatives(corpus_hashed: rd.Dataset,

@@ -41,8 +41,24 @@ import ray
 import ray.data as rd
 
 
+def _as_arrow_block(b) -> pa.Table:
+    """Normalize a Ray block: ``to_arrow_refs`` hands back pandas blocks
+    verbatim when the producing lineage was a pandas ``map_groups``."""
+    if isinstance(b, pa.Table):
+        return b
+    import pandas as pd
+    if isinstance(b, pd.DataFrame):
+        return pa.Table.from_pandas(b, preserve_index=False)
+    return pa.table(b)
+
+
 def _split(tbl: pa.Table, part_fn, n_parts: int):
     """One map task: slice ``tbl`` into per-partition sub-tables."""
+    if tbl.num_rows == 0:
+        # an empty block may be schema-less (select_columns over an empty
+        # pandas-lineage block) — don't ask part_fn to read its columns
+        out = [tbl] * n_parts
+        return out[0] if n_parts == 1 else tuple(out)
     # defensive mod: a pid outside [0, n_parts) would silently drop rows
     # at the searchsorted boundaries below
     pids = np.asarray(part_fn(tbl), dtype=np.int64) % n_parts
@@ -54,10 +70,16 @@ def _split(tbl: pa.Table, part_fn, n_parts: int):
     return out[0] if n_parts == 1 else tuple(out)
 
 
-def _split_many(part_fn, n_parts: int, *tbls: pa.Table):
+def _split_many(part_fn, n_parts: int, *tbls):
     # blocks arrive as positional args so Ray resolves the ObjectRefs
-    tbl = pa.concat_tables([t for t in tbls if t.num_rows]) \
-        if len(tbls) != 1 else tbls[0]
+    tbls = [_as_arrow_block(t) for t in tbls]
+    live = [t for t in tbls if t.num_rows]
+    if len(tbls) == 1:
+        tbl = tbls[0]
+    elif live:
+        tbl = pa.concat_tables(live, promote_options="default")
+    else:
+        tbl = tbls[0]        # all-empty group: keep a schema-bearing table
     return _split(tbl, part_fn, n_parts)
 
 
@@ -134,9 +156,10 @@ def exchange(blocks: "list[ray.ObjectRef] | rd.Dataset",
     return rd.from_arrow_refs(out_refs)
 
 
-def _census_split(key_fn, n_parts: int, *tbls: pa.Table):
+def _census_split(key_fn, n_parts: int, *tbls):
     """Map task for the key census: project keys, combine locally
     (per-block unique+count), split by key hash."""
+    tbls = [_as_arrow_block(t) for t in tbls]
     keys = np.concatenate([np.asarray(key_fn(t), dtype=np.int64)
                            for t in tbls if t.num_rows]) \
         if any(t.num_rows for t in tbls) else np.zeros(0, np.int64)

@@ -49,6 +49,8 @@ def stable_hash(values: np.ndarray | pd.Series) -> np.ndarray:
     (pandas siphash with a pinned key; C-speed, process-stable)."""
     if isinstance(values, pd.Series):
         values = values.to_numpy()
+    if len(values) == 0:   # hash_array chokes on some empty dtypes ('U#')
+        return np.zeros(0, dtype=np.uint64)
     return pd.util.hash_array(values, hash_key=_HASH_KEY, categorize=False)
 
 
@@ -69,7 +71,10 @@ def _cached_value_set(ref) -> pa.Array:
     if vs is None:
         if len(_PROBE_CACHE) >= _PROBE_CACHE_MAX:
             _PROBE_CACHE.clear()
-        vs = _PROBE_CACHE.setdefault(key, pa.array(ray.get(ref)))
+        v = ray.get(ref)
+        if not isinstance(v, pa.Array):     # accept list or arrow payloads
+            v = pa.array(v)
+        vs = _PROBE_CACHE.setdefault(key, v)
     return vs
 
 

@@ -520,9 +520,13 @@ def verify_pairs(edges: rd.Dataset, signatures: rd.Dataset,
             # instead of a distributed groupby shuffle + take() execution —
             # two full barriers saved at every parallelism level
             import pyarrow.compute as _pc
+            from deduplicate_ray.stages.exchange import _as_arrow_block
             # to_arrow_refs on the pinned relation is free (no projection
-            # execution); the src/dst column slices are zero-copy
-            blocks = [b for b in ray.get(edges.to_arrow_refs())
+            # execution); the src/dst column slices are zero-copy. Blocks
+            # are normalized: a pandas-producing lineage (bridge edges)
+            # hands back pandas blocks verbatim.
+            blocks = [b for b in map(_as_arrow_block,
+                                     ray.get(edges.to_arrow_refs()))
                       if b.num_rows]
             if not blocks:
                 return edges.map_batches(

@@ -91,3 +91,32 @@ def test_key_census_min_count_and_empty():
     assert k.tolist() == [1] and c.tolist() == [3]
     k, c = ex.key_census([], lambda t: None, n_parts=2)
     assert k.size == 0 and c.size == 0
+
+
+def test_exchange_accepts_pandas_lineage_blocks():
+    """to_arrow_refs hands back pandas blocks verbatim when the producing
+    lineage was a pandas map_groups (e.g. LSH bridge edges) — the exchange
+    must normalize them instead of crashing (the bug that killed the 3.6M
+    scaling level)."""
+    import pandas as pd
+
+    ds = rd.from_arrow(_table(90))
+
+    def to_pd(g: pd.DataFrame) -> pd.DataFrame:
+        return g
+
+    pandas_ds = ds.groupby("k").map_groups(to_pd, batch_format="pandas")
+    out = ex.exchange(pandas_ds, lambda t: np.asarray(t.column("k")) % 3,
+                      lambda t: t, 3)
+    assert sorted(r["v"] for r in out.take_all()) == list(range(90))
+
+
+def test_exchange_all_empty_map_group():
+    """A map group whose blocks are ALL empty must still split cleanly
+    (schema-bearing empty table) instead of crashing concat_tables."""
+    schema_t = pa.table({"k": pa.array([], pa.int64()),
+                         "v": pa.array([], pa.int64())})
+    blocks = [ray.put(schema_t), ray.put(schema_t), ray.put(_table(10))]
+    out = ex.exchange(blocks, lambda t: np.asarray(t.column("k")) % 2,
+                      lambda t: t, 2, max_map_tasks=2)
+    assert sorted(r["v"] for r in out.take_all()) == list(range(10))
