@@ -143,10 +143,15 @@ def scaling() -> None:
     def run(ncpu: int, n_rows: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    DEDUP_BENCH_ONCE="1", DEDUP_BENCH_ROWS=str(n_rows))
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True,
-                             check=True, cwd=os.path.dirname(os.path.abspath(__file__))).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, capture_output=True, text=True,
+                              cwd=os.path.dirname(os.path.abspath(__file__)))
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-8000:])
+            raise RuntimeError(
+                f"bench level num_cpus={ncpu} rows={n_rows} failed "
+                f"(exit {proc.returncode}); stderr above")
+        return json.loads(proc.stdout.strip().splitlines()[-1])
 
     # per-PAIR corpus sizing: each (N, 4N) pair runs on the same input, but
     # the input is sized so the HIGH level stays compute-dominated (>= ~4x
