@@ -9,7 +9,6 @@ vocabulary filters the ``path`` column vectorized via
 
 from __future__ import annotations
 
-import posixpath
 import re
 
 import pyarrow as pa
@@ -71,14 +70,20 @@ def human_size(n: int) -> str:
 def add_dirpath(batch: pa.Table) -> pa.Table:
     """Append ``dir = repo || '/' || dirname(path)`` (M6: ``os.path.dirname``
     per path, ``dupe_utils.py:14-16``; in the corpus model the directory key
-    is namespaced by repo)."""
-    repos = batch.column("repo").to_pylist()
-    paths = batch.column("path").to_pylist()
-    dirs = [
-        r + "/" + d if (d := posixpath.dirname(p)) else r
-        for r, p in zip(repos, paths)
-    ]
-    return batch.append_column("dir", pa.array(dirs, pa.string()))
+    is namespaced by repo). Fully vectorized: RE2 dirname extraction + an
+    element-wise binary join — no Python loop over rows."""
+    d = pc.fill_null(pc.struct_field(
+        pc.extract_regex(batch.column("path"), r"^(?P<d>.*)/"), "d"), "")
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    repo = batch.column("repo")
+    if isinstance(repo, pa.ChunkedArray):
+        repo = repo.combine_chunks()
+    dirs = pc.if_else(pc.equal(d, ""), repo,
+                      pc.binary_join_element_wise(repo, d, "/"))
+    if isinstance(dirs, pa.ChunkedArray):
+        dirs = dirs.combine_chunks()
+    return batch.append_column("dir", dirs)
 
 
 def add_depth(batch: pa.Table, column: str = "path") -> pa.Table:

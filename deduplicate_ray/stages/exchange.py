@@ -125,8 +125,22 @@ def exchange(blocks: "list[ray.ObjectRef] | rd.Dataset",
     Executes EAGERLY (the input lineage runs at call time) — callers that
     need laziness must not route through the exchange.
     """
+    input_schema: pa.Schema | None = None
     if isinstance(blocks, rd.Dataset):
-        blocks = blocks.to_arrow_refs()
+        ds_in = blocks
+        blocks = ds_in.to_arrow_refs()
+        # empty-partition schema hint straight from Dataset metadata (the
+        # lineage just executed, so this is metadata-only) — avoids pulling
+        # a potentially content-sized map-0 slice to the driver, and avoids
+        # a zero-column hint when that slice happens to be all-empty
+        # schema-less blocks
+        try:
+            s = ds_in.schema(fetch_if_missing=False)
+            base = getattr(s, "base_schema", None)
+            if isinstance(base, pa.Schema):
+                input_schema = base
+        except Exception:
+            input_schema = None
     blocks = list(blocks)
     if not blocks:
         return rd.from_arrow(reduce_fn(pa.table({})))
@@ -143,10 +157,11 @@ def exchange(blocks: "list[ray.ObjectRef] | rd.Dataset",
     if n_parts == 1:
         slice_refs = [[r] for r in slice_refs]
 
-    # reducers need an empty-partition schema: derive it lazily from the
-    # first map output only if some partition could be empty — cheap and
-    # avoids executing anything extra (slice 0 of map 0 is already needed)
-    schema_hint = ray.get(slice_refs[0][0]).schema
+    # reducers need an empty-partition schema: prefer the input Dataset's
+    # metadata schema (zero fetch); fall back to slice 0 of map 0 (already
+    # needed by reducer 0) for raw-ObjectRef callers
+    schema_hint = input_schema if input_schema is not None \
+        else ray.get(slice_refs[0][0]).schema
 
     reduce = ray.remote(_reduce)
     out_refs = [

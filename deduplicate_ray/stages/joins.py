@@ -185,9 +185,26 @@ def _to_arrow_type(t) -> pa.DataType:
         return pa.string()
 
 
+def _carries_payload(schema) -> bool:
+    """True when a relation looks content-bearing: a ``content`` column or
+    any (large-)binary / large-string column. Guards the exchange invariant
+    that only NARROW relations ride the eager raw-task exchange (which
+    pins the whole shuffled relation in the object store, no
+    backpressure)."""
+    for n, t in zip(schema.names, schema.types):
+        if n == "content":
+            return True
+        at = _to_arrow_type(t)
+        if (pa.types.is_binary(at) or pa.types.is_large_binary(at)
+                or pa.types.is_large_string(at)):
+            return True
+    return False
+
+
 def bucket_join(left: rd.Dataset, right: rd.Dataset, on: str,
                 how: str = "inner",
-                num_buckets: int | None = None) -> rd.Dataset:
+                num_buckets: int | None = None,
+                streaming: bool | None = None) -> rd.Dataset:
     """Equi-join two datasets on one key column.
 
     ``how``: 'inner' or 'left'. Non-key column names must be disjoint
@@ -196,6 +213,13 @@ def bucket_join(left: rd.Dataset, right: rd.Dataset, on: str,
     The shuffle key is ``hash(key) % num_buckets``; the default is
     cluster-aware (:func:`default_num_buckets`). Salt upstream if one key
     dominates.
+
+    ``streaming``: route the shuffle through Ray Data's sort-based
+    ``groupby.map_groups`` (backpressured, spills) instead of the eager
+    raw-task exchange (faster, but pins the whole relation in the object
+    store). Default ``None`` auto-detects: content-bearing schemas (see
+    :func:`_carries_payload`) take the streaming path so a semi/anti-join
+    fallback over a content corpus can never pin the payload whole.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how}")
@@ -260,6 +284,14 @@ def bucket_join(left: rd.Dataset, right: rd.Dataset, on: str,
         rpart = g.filter(pc.invert(lmask)).select([on] + rcols)
         out = lpart.join(rpart, keys=on, join_type=join_type)
         return out.select(all_cols).cast(out_schema)
+
+    if streaming is None:
+        streaming = _carries_payload(left_schema) or \
+            _carries_payload(right_schema)
+    if streaming:
+        # backpressured sort-shuffle: slower than the exchange but never
+        # holds the full (content-bearing) relation pinned in the store
+        return u.groupby("_bucket").map_groups(merge, batch_format="pyarrow")
 
     # raw-task hash exchange on the precomputed bucket id (stages.exchange):
     # a sort-based groupby would order both tagged sides globally just to

@@ -536,9 +536,24 @@ def verify_pairs(edges: rd.Dataset, signatures: rd.Dataset,
             ends_arr = pa.concat_arrays(
                 [b.column("src").combine_chunks() for b in blocks]
                 + [b.column("dst").combine_chunks() for b in blocks])
-            endpoint_keys = _pc.unique(ends_arr).to_pylist()
-            pruned = joins._broadcast_filter(
-                signatures, endpoint_keys, "file_id", keep=True).materialize()
+            endpoint_uniq = _pc.unique(ends_arr)
+            # the edge COUNT fit the driver, but the distinct endpoint set
+            # must also fit the broadcast budget before it is ray.put to
+            # every worker — near the 20M-edge gate that set can reach ~2x
+            # the semi_join broadcast limit (multi-GB pickled id list +
+            # per-worker value-set copies). Past the budget, hand the
+            # already-computed distinct endpoints to the distributed
+            # semi_join instead of broadcasting unconditionally.
+            if len(endpoint_uniq) <= joins.DEFAULT_BROADCAST_LIMIT:
+                pruned = joins._broadcast_filter(
+                    signatures, endpoint_uniq.to_pylist(), "file_id",
+                    keep=True).materialize()
+            else:
+                ends_ds = rd.from_arrow(
+                    pa.table({"file_id": endpoint_uniq}))
+                pruned = joins.semi_join(
+                    signatures, ends_ds, "file_id",
+                    num_partitions=cfg.num_partitions).materialize()
         else:
             ends = edges.select_columns(["src"]).map_batches(
                 lambda t: t.rename_columns(["file_id"]),

@@ -100,7 +100,14 @@ class MinHashSigner:
         self.k = cfg.shingle_k
         self.num_perms = cfg.num_perms
         rng = np.random.Generator(np.random.PCG64(cfg.minhash_seed))
-        # multiply-add per-perm hash constants: odd multiplier + offset
+        # multiply-add per-perm hash constants: odd multiplier + offset.
+        # PRECONDITION (load-bearing): h_p(x) = a_p*x + b_p mod 2^64 leaves
+        # the low bits of h essentially unmixed (bit i of h depends only on
+        # bits <= i of x), so min-selection is unbiased ONLY over inputs
+        # that are already uniformly mixed. Every shingle value MUST have
+        # passed the _mix64 (splitmix64) finalizer before reaching the
+        # per-perm loop — shingle_hashes guarantees this; do not feed raw
+        # rolling-hash values to signature_matrix via any new call path.
         self.mult = (rng.integers(1, 2**63, self.num_perms, dtype=np.uint64)
                      << np.uint64(1)) | np.uint64(1)
         self.add = rng.integers(0, 2**63, self.num_perms, dtype=np.uint64)
