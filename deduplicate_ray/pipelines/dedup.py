@@ -108,29 +108,34 @@ def near_dup_clusters(corpus: rd.Dataset, cfg: PipelineConfig | None = None,
     # The distributed path is identical in semantics and kicks in beyond
     # cfg.driver_metadata_limit.
     meta_tbl = None
+    reps_tbl = None
     if collapse_exact:
         # row count from the pinned hashed relation (metadata-only); the
         # metadata fetch slices (file_id, sha256) straight off the pinned
         # blocks — zero-copy column selects, no narrow materialization.
-        # Election uses arrow's C++ hash aggregate + join (sub-second at
-        # 200k rows vs ~8 s through pandas/take).
+        # Election uses arrow's C++ hash aggregate (sub-second at 1M rows);
+        # the per-member rep join is DEFERRED to the fold phase, where one
+        # sha256-keyed join covers it — joining here cost ~2 s of serial
+        # driver time at 1.2M rows for a column nothing reads before fold.
         if hashed.count() <= cfg.driver_metadata_limit:
             import ray as _ray0
+            _lap("meta:count")
             meta_tbl = pa.concat_tables(
                 t.select(["file_id", "sha256"])
                 for t in _ray0.get(hashed.to_arrow_refs()) if t.num_rows)
+            _lap("meta:fetch")
             reps_tbl = pa.TableGroupBy(meta_tbl, "sha256").aggregate(
                 [("file_id", "min")])
-            meta_tbl = meta_tbl.join(reps_tbl, keys="sha256")
-            meta_tbl = meta_tbl.rename_columns(
-                ["rep_file_id" if c == "file_id_min" else c
-                 for c in meta_tbl.column_names])
+            _lap("meta:elect")
 
     if collapse_exact:
         if meta_tbl is not None:
             import ray as _ray
+            # broadcast the rep-id ARROW array (reps_tbl's min file_id per
+            # family is already distinct) — no pc.unique pass, no Python
+            # list materialization/pickle
             rep_ref = _ray.put(
-                pc.unique(meta_tbl.column("rep_file_id")).to_pylist())
+                reps_tbl.column("file_id_min").combine_chunks())
 
             def keep_reps(t: pa.Table) -> pa.Table:
                 # vectorized membership: the broadcast id list becomes an
@@ -204,10 +209,15 @@ def near_dup_clusters(corpus: rd.Dataset, cfg: PipelineConfig | None = None,
             return fast
         bands = bands_ck if bands_ck is not None \
             else minhash.explode_bands(sigs, cfg)
+        _lap("mod:bands")
         e = lsh.candidate_pairs(bands, cfg,
                                 n_rows_hint=sigs.count() * cfg.lsh_bands)
-        return lsh.verify_pairs(
-            lsh.dedup_edges(e, cfg.num_partitions), sigs, cfg)
+        _lap("mod:candidates")
+        d = lsh.dedup_edges(e, cfg.num_partitions)
+        _lap("mod:dedup")
+        v = lsh.verify_pairs(d, sigs, cfg)
+        _lap("mod:verify")
+        return v
 
     # edges are always pinned (parquet checkpoint or object-store
     # materialize): union-find probes the pinned relation with a
@@ -239,22 +249,32 @@ def near_dup_clusters(corpus: rd.Dataset, cfg: PipelineConfig | None = None,
     # near-dup cluster become their own cluster (id = representative file_id)
     # when the family has >1 member.
     if meta_tbl is not None:
-        # driver fold over the already-fetched metadata table (arrow joins)
-        rep_cl_rows = rep_clusters.take_all()
-        rep_cl = pa.table({
-            "rep_file_id": pa.array([r["file_id"] for r in rep_cl_rows],
-                                    pa.string()),
-            "cluster_id": pa.array([r["cluster_id"] for r in rep_cl_rows],
-                                   pa.string())})
-        fam_sizes = pa.TableGroupBy(meta_tbl, "rep_file_id").aggregate(
-            [("file_id", "count")]).rename_columns(
-            ["rep_file_id", "fam_size"])
-        t = meta_tbl.join(rep_cl, keys="rep_file_id", join_type="left outer")
-        t = t.join(fam_sizes, keys="rep_file_id")
+        # driver fold over the already-fetched metadata table: build ONE
+        # per-family table (sha256 → rep, fam_size, cluster) with
+        # family-sized joins, then a single sha256-keyed join carries it to
+        # the members — the old per-member rep_file_id column needed two
+        # member-sized joins plus the elect-phase join that produced it.
+        import ray as _ray1
+        from deduplicate_ray.stages.exchange import _as_arrow_block
+        rep_cl_blocks = [b for b in map(
+            _as_arrow_block,
+            _ray1.get(rep_clusters.to_arrow_refs())) if b.num_rows]
+        rep_cl = pa.concat_tables(rep_cl_blocks) if rep_cl_blocks else \
+            pa.table({"file_id": pa.array([], pa.string()),
+                      "cluster_id": pa.array([], pa.string())})
+        rep_cl = rep_cl.select(["file_id", "cluster_id"]).rename_columns(
+            ["file_id_min", "cluster_id"])
+        fams = reps_tbl.join(rep_cl, keys="file_id_min",
+                             join_type="left outer")
+        fam_sizes = pa.TableGroupBy(meta_tbl, "sha256").aggregate(
+            [("file_id", "count")]).rename_columns(["sha256", "fam_size"])
+        fams = fams.join(fam_sizes, keys="sha256")
+        t = meta_tbl.join(fams, keys="sha256")
         keep = pc.or_(pc.is_valid(t.column("cluster_id")),
                       pc.greater(t.column("fam_size"), 1))
         t = t.filter(keep)
-        cluster = pc.coalesce(t.column("cluster_id"), t.column("rep_file_id"))
+        cluster = pc.coalesce(t.column("cluster_id"), t.column("file_id_min"))
+        _lap("fold")
         return rd.from_arrow(pa.table({
             "file_id": t.column("file_id").combine_chunks(),
             "cluster_id": cluster.combine_chunks()

@@ -300,7 +300,9 @@ def candidate_pairs(bands: rd.Dataset, cfg: PipelineConfig | None = None,
     band lineage when choosing the census path.
     """
     cfg = cfg or PipelineConfig()
+    from deduplicate_ray.pipelines.dedup import _lap
     keys64, counts = _census_keys(bands, cfg, n_rows_hint)
+    _lap("mod:census")
     any_salted = bool((counts > cfg.salt_threshold).any())
     if any_salted:
         hot_n = counts[counts > cfg.salt_threshold]
@@ -512,7 +514,9 @@ def verify_pairs(edges: rd.Dataset, signatures: rd.Dataset,
         # two sort-shuffles were moving 2x943k signature blobs for 320k
         # useful rows).
         from deduplicate_ray.stages import joins
+        from deduplicate_ray.pipelines.dedup import _lap
         edges = edges.materialize()   # consumed twice: endpoints + verify
+        _lap("verify:pin-edges")
         n_edges = edges.count()       # metadata-only on the pinned relation
         if n_edges <= _DRIVER_ENDPOINT_LIMIT:
             # endpoint distinct straight off the pinned edge blocks: one
@@ -564,25 +568,10 @@ def verify_pairs(edges: rd.Dataset, signatures: rd.Dataset,
             pruned = joins.semi_join(
                 signatures, joins.distinct_keys(ends, "file_id"), "file_id",
                 num_partitions=cfg.num_partitions).materialize()
+        _lap("verify:prune")
         return verify_pairs(edges, pruned, cfg, broadcast_limit,
                             _pruned=True)
     if n_sigs <= broadcast_limit:
-        # parallel object-store fetch (to_arrow_refs), not a serial
-        # iter_batches stream through the driver (round-1: the driver-side
-        # signature fetch was Amdahl serial work — ~320 MB at 314k sigs).
-        # ids stay an ARROW array end to end: building a Python-object id
-        # array + pd.Index cost ~6 s of driver serial time at 320k sigs;
-        # pc.index_in is the same lookup in C++ with zero Python strings.
-        blocks = ray.get(signatures.select_columns(
-            ["file_id", "sig"]).to_arrow_refs())
-        ids_arrays = [b.column("file_id").combine_chunks() for b in blocks
-                      if b.num_rows]
-        mats = [np.asarray(b.column("sig").combine_chunks().flatten())
-                .reshape(b.num_rows, -1) for b in blocks if b.num_rows]
-        ids = pa.concat_arrays(ids_arrays) if ids_arrays \
-            else pa.array([], pa.string())
-        mat = np.concatenate(mats) if mats else np.zeros(
-            (0, cfg.num_perms), np.uint64)
         # xor-fold each 64-bit minhash component to 16 bits for the
         # broadcast compare: per-component equality gains a 2^-16 false
         # positive (inflates jaccard_est by ~1.5e-5 in expectation —
@@ -591,10 +580,42 @@ def verify_pairs(edges: rd.Dataset, signatures: rd.Dataset,
         # a 320k x 128 uint16 matrix (~80 MB) gathers mostly from cache
         # where the uint64 original saturated the memory bus (measured
         # 15 s vs 0.3 s per 65k-pair batch under 16-way concurrency).
-        mat = ((mat ^ (mat >> np.uint64(16)) ^ (mat >> np.uint64(32))
-                ^ (mat >> np.uint64(48)))
-               & np.uint64(0xFFFF)).astype(np.uint16)
+        # The fold runs DISTRIBUTED (map_batches over the pinned signature
+        # blocks) so the driver fetches only the folded uint16 matrix —
+        # folding a ~400 MB uint64 fetch on the driver was ~9 s of serial
+        # time at 470k sigs / 1.2M rows, constant in cluster size.
+        n_perms = cfg.num_perms
+
+        def fold_block(t: pa.Table) -> pa.Table:
+            flat = np.asarray(t.column("sig").combine_chunks().flatten(),
+                              dtype=np.uint64)
+            folded = ((flat ^ (flat >> np.uint64(16))
+                       ^ (flat >> np.uint64(32)) ^ (flat >> np.uint64(48)))
+                      & np.uint64(0xFFFF)).astype(np.uint16)
+            col = pa.FixedSizeListArray.from_arrays(
+                pa.array(folded, pa.uint16()), n_perms)
+            return pa.table({"file_id": t.column("file_id"), "sig16": col})
+
+        # parallel object-store fetch (to_arrow_refs), not a serial
+        # iter_batches stream through the driver (round-1: the driver-side
+        # signature fetch was Amdahl serial work).
+        # ids stay an ARROW array end to end: building a Python-object id
+        # array + pd.Index cost ~6 s of driver serial time at 320k sigs;
+        # pc.index_in is the same lookup in C++ with zero Python strings.
+        blocks = ray.get(signatures.select_columns(["file_id", "sig"])
+                         .map_batches(fold_block, batch_format="pyarrow")
+                         .to_arrow_refs())
+        ids_arrays = [b.column("file_id").combine_chunks() for b in blocks
+                      if b.num_rows]
+        mats = [np.asarray(b.column("sig16").combine_chunks().flatten())
+                .reshape(b.num_rows, -1) for b in blocks if b.num_rows]
+        ids = pa.concat_arrays(ids_arrays) if ids_arrays \
+            else pa.array([], pa.string())
+        mat = np.concatenate(mats) if mats else np.zeros(
+            (0, cfg.num_perms), np.uint16)
         ref = ray.put((ids, mat))
+        from deduplicate_ray.pipelines.dedup import _lap
+        _lap("verify:fetch+put")
         thr = cfg.verify_threshold
 
         def verify_fn(batch: pa.Table) -> pa.Table:
