@@ -70,6 +70,12 @@ class PipelineConfig:
     substring_partition_col: str = "repo"
     #: Skip containment for contents shorter than this (noise floor).
     min_containment_len: int = 32
+    #: A partition group whose total content bytes exceed this is
+    #: hash-sharded into ceil(bytes/cap) shards scanned pairwise, bounding
+    #: one scan task's memory to ~2x the cap (a monorepo-sized group would
+    #: otherwise concatenate whole inside one worker). Individual documents
+    #: larger than the cap must still fit a worker.
+    substring_group_bytes_cap: int = 256 << 20
 
     # ---- execution ------------------------------------------------------
     batch_size: int = 1024          # rows per map_batches batch (wide text rows)

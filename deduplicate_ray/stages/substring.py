@@ -37,6 +37,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from deduplicate_ray.config import PipelineConfig
@@ -116,31 +117,38 @@ def _sa_occurrences(concat: bytes, sa: np.ndarray, pat: bytes) -> np.ndarray:
     return sa[start:lo]
 
 
-def containment_pairs_in_group(file_ids: list[str], contents: list[str],
-                               min_len: int = 32) -> list[tuple[str, str]]:
-    """(inner, outer) pairs where inner's content is a proper substring of
-    outer's content. Equal contents are NOT reported (Stage 1 territory)."""
-    enc = [c.encode() for c in contents]
-    concat = SENTINEL.encode().join(enc)
-    offs = np.zeros(len(enc) + 1, dtype=np.int64)
-    for i, c in enumerate(enc):
+def containment_pairs_between(query_ids: list[str], query_contents: list[str],
+                              host_ids: list[str], host_contents: list[str],
+                              min_len: int = 32) -> list[tuple[str, str]]:
+    """(query, host) pairs where the query's content is a proper substring
+    of a strictly LONGER host content. ``query_id == host_id`` rows (the
+    same document on both sides, e.g. in a same-shard scan) never pair.
+
+    The index side is the HOST list only — per-task memory is bounded by
+    the host bytes plus one query at a time, which is what lets oversized
+    groups shard (see :func:`containment_edges`)."""
+    enc_h = [c.encode() for c in host_contents]
+    concat = SENTINEL.encode().join(enc_h)
+    offs = np.zeros(len(enc_h) + 1, dtype=np.int64)
+    for i, c in enumerate(enc_h):
         offs[i + 1] = offs[i] + len(c) + 1  # +1 for sentinel
     starts = offs[:-1]
-    order = np.argsort([len(c) for c in enc], kind="stable")
+    enc_q = [c.encode() for c in query_contents]
+    order = np.argsort([len(c) for c in enc_q], kind="stable")
 
     use_sa = len(concat) >= _SA_MIN_BYTES
     sa = None
     if use_sa:
         # queries compare at most max-query-doc-length bytes; sorting
         # deeper than that buys nothing (see build_suffix_array depth)
-        q_lens = [len(c) for c in enc if len(c) >= min_len]
+        q_lens = [len(c) for c in enc_q if len(c) >= min_len]
         max_q = max(q_lens) if q_lens else min_len
         sa = build_suffix_array(concat, depth=max_q)
 
     pairs: set[tuple[str, str]] = set()
     seen_content: dict[bytes, np.ndarray] = {}
     for idx in order:
-        a = enc[idx]
+        a = enc_q[idx]
         if len(a) < min_len:
             continue
         if use_sa:
@@ -157,32 +165,126 @@ def containment_pairs_in_group(file_ids: list[str], contents: list[str],
                 pos = concat.find(a, pos + 1)
         for pos in it:
             holder = int(np.searchsorted(starts, pos, side="right") - 1)
-            if holder != idx and len(enc[holder]) > len(a):
-                pairs.add((file_ids[idx], file_ids[holder]))
+            if host_ids[holder] != query_ids[idx] \
+                    and len(enc_h[holder]) > len(a):
+                pairs.add((query_ids[idx], host_ids[holder]))
     return sorted(pairs)
+
+
+def containment_pairs_in_group(file_ids: list[str], contents: list[str],
+                               min_len: int = 32) -> list[tuple[str, str]]:
+    """(inner, outer) pairs where inner's content is a proper substring of
+    outer's content. Equal contents are NOT reported (Stage 1 territory)."""
+    return containment_pairs_between(file_ids, contents, file_ids, contents,
+                                     min_len)
 
 
 def containment_edges(corpus_with_ids: rd.Dataset,
                       cfg: PipelineConfig | None = None,
                       partition_col: str | None = None) -> rd.Dataset:
     """corpus rows (``file_id``, ``content``, partition col) →
-    ``(src, dst)`` edge relation (src = embedded inner file, dst = host)."""
+    ``(src, dst)`` edge relation (src = embedded inner file, dst = host).
+
+    Group-size bound: a partition group whose total content exceeds
+    ``cfg.substring_group_bytes_cap`` is hash-sharded into
+    ``k = ceil(bytes / cap)`` shards, and every ordered shard pair (i, j)
+    becomes its own scan task — queries from shard i against a suffix
+    array over shard j's docs — so one task never holds more than ~2x the
+    cap regardless of group size (a monorepo-sized group previously
+    concatenated whole in one worker). Detection stays exact: pair
+    (a ⊂ b) surfaces in exactly task (shard(a), shard(b)). Cost of the
+    fallback is 2k copies of each oversized-group row and k² tasks —
+    quadratic in group size, the honest price of exact containment
+    without a distributed suffix structure. Per-DOC bound unchanged: one
+    document larger than the cap must still fit a worker."""
     cfg = cfg or PipelineConfig()
     pcol = partition_col or cfg.substring_partition_col
     min_len = cfg.min_containment_len
+    cap = cfg.substring_group_bytes_cap
+
+    have_size = "size" in corpus_with_ids.schema().names
+    cols = ["file_id", "content", pcol] + (["size"] if have_size else [])
+    src = corpus_with_ids.select_columns(cols)
+
+    # narrow per-group byte census (the hash pass's `size` column when
+    # present — no content touch); only OVERSIZED groups reach the driver
+    from ray.data.aggregate import Sum as _Sum
+
+    def group_bytes(t: pa.Table) -> pa.Table:
+        b = t.column("size") if "size" in t.schema.names \
+            else pc.binary_length(t.column("content"))
+        return pa.table({pcol: t.column(pcol), "b": b})
+
+    census_src = corpus_with_ids.select_columns(
+        [pcol, "size"] if have_size else [pcol, "content"])
+    oversized_rows = census_src \
+        .map_batches(group_bytes, batch_format="pyarrow") \
+        .groupby(pcol).aggregate(_Sum("b", alias_name="b")) \
+        .filter(expr=f"b > {int(cap)}").take_all()
+    shard_counts = {r[pcol]: int(-(-r["b"] // cap)) for r in oversized_rows}
+
+    import ray as _ray
+    counts_ref = _ray.put(shard_counts)
+
+    def explode_shards(t: pa.Table) -> pa.Table:
+        counts = _ray.get(counts_ref)
+        gvals = t.column(pcol).to_pylist()
+        if not counts or not any(g in counts for g in gvals):
+            # fast path (every group under the cap): one scan task per
+            # group, single copy, role 'b' (both sides)
+            key = pc.binary_join_element_wise(
+                pc.cast(t.column(pcol), pa.string()), "#0_0", "\x01")
+            return pa.table({
+                "file_id": t.column("file_id"),
+                "content": t.column("content"),
+                "_scan_key": key.combine_chunks()
+                if isinstance(key, pa.ChunkedArray) else key,
+                "role": pa.array(["b"] * t.num_rows, pa.string())})
+        from deduplicate_ray.stages.joins import stable_hash
+        fids = t.column("file_id").to_pylist()
+        contents = t.column("content").to_pylist()
+        h_all = stable_hash(np.asarray(fids, dtype=object))
+        out_f, out_c, out_k, out_r = [], [], [], []
+        for row, (g, f, c) in enumerate(zip(gvals, fids, contents)):
+            k = counts.get(g, 1)
+            if k <= 1:
+                out_f.append(f); out_c.append(c)
+                out_k.append(f"{g}\x01#0_0"); out_r.append("b")
+                continue
+            s = int(h_all[row] % np.uint64(k))
+            for j in range(k):           # query side visits every shard
+                out_f.append(f); out_c.append(c)
+                out_k.append(f"{g}\x01#{s}_{j}"); out_r.append("q")
+            for i in range(k):           # host side of its own shard
+                out_f.append(f); out_c.append(c)
+                out_k.append(f"{g}\x01#{i}_{s}"); out_r.append("h")
+        return pa.table({"file_id": pa.array(out_f, pa.string()),
+                         "content": pa.array(out_c, pa.string()),
+                         "_scan_key": pa.array(out_k, pa.string()),
+                         "role": pa.array(out_r, pa.string())})
 
     def scan(g: pd.DataFrame) -> pa.Table:
         # arrow output keeps empty blocks TYPED (string, not object) —
         # Ray's block size estimator chokes on empty object columns
         # ("cannot call `vectorize` on size 0 inputs")
-        pairs = containment_pairs_in_group(
-            g["file_id"].tolist(), g["content"].fillna("").tolist(), min_len)
+        roles = g["role"]
+        if (roles == "b").all():
+            pairs = containment_pairs_in_group(
+                g["file_id"].tolist(), g["content"].fillna("").tolist(),
+                min_len)
+        else:
+            q = g[roles == "q"]
+            h = g[roles == "h"]
+            pairs = containment_pairs_between(
+                q["file_id"].tolist(), q["content"].fillna("").tolist(),
+                h["file_id"].tolist(), h["content"].fillna("").tolist(),
+                min_len)
         return pa.table(
             {"src": pa.array([p[0] for p in pairs], pa.string()),
              "dst": pa.array([p[1] for p in pairs], pa.string())})
 
-    cols = ["file_id", "content", pcol]
-    return corpus_with_ids.select_columns(cols).groupby(pcol).map_groups(
+    exploded = src.map_batches(explode_shards, batch_format="pyarrow")
+    return exploded.groupby("_scan_key").map_groups(
         scan, batch_format="pandas")
 
 

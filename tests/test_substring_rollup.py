@@ -70,6 +70,21 @@ def test_embedded_fixture_edges():
         assert (inner, outer) in got, f"missing containment {inner} in {outer}"
 
 
+def test_sharded_group_scan_matches_unsharded():
+    """A group over the byte cap is scanned in k^2 bounded shard-pair
+    tasks; the edge set must be identical to the single-task scan."""
+    fx = fx_embedded(n_pairs=6)
+    ds = substring.add_ids_only(rd.from_arrow(fx.table()))
+    base = substring.containment_edges(ds, PipelineConfig())
+    expect = {(r["src"], r["dst"]) for r in base.take_all()}
+    assert expect, "fixture should contain containment pairs"
+    # force sharding: cap far below the fixture's group bytes
+    cfg = PipelineConfig(substring_group_bytes_cap=2048)
+    sharded = substring.containment_edges(ds, cfg)
+    got = {(r["src"], r["dst"]) for r in sharded.take_all()}
+    assert got == expect
+
+
 def _members(table):
     hashes = exact.hash_corpus(rd.from_arrow(table))
     return exact.exact_members(hashes)
