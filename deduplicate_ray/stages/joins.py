@@ -280,8 +280,14 @@ def bucket_join(left: rd.Dataset, right: rd.Dataset, on: str,
         if g.num_rows == 0 or "_side" not in g.schema.names:
             return out_schema.empty_table()
         lmask = pc.equal(g.column("_side"), 0)
-        lpart = g.filter(lmask).select(lcols)
-        rpart = g.filter(pc.invert(lmask)).select([on] + rcols)
+        # pin side types before the C++ join: blocks that crossed a sort
+        # shuffle or a pandas round trip can degrade all-null columns to
+        # null type, which acero rejects as a non-key field (cast is a
+        # no-op when types already match)
+        lpart = g.filter(lmask).select(lcols).cast(
+            pa.schema([(c, ltypes[c]) for c in lcols]))
+        rpart = g.filter(pc.invert(lmask)).select([on] + rcols).cast(
+            pa.schema([(c, rtypes[c]) for c in [on] + rcols]))
         out = lpart.join(rpart, keys=on, join_type=join_type)
         return out.select(all_cols).cast(out_schema)
 

@@ -303,29 +303,46 @@ def ngram_jaccard_edges(ds: rd.Dataset, id_col: str, text_col: str = "text",
 
         return pairs.map_batches(verify, batch_format="pyarrow")
 
-    # scale path: carry both texts to the pair via two bucketed joins
+    # scale path: tokenize each doc ONCE into its sorted hashed n-gram
+    # array (uint64, stored as one binary blob so it survives the join
+    # layer) and carry the blobs — not raw text — to the pair via two
+    # bucketed joins; verify = one vectorized sorted-set intersection per
+    # candidate. (Round-2 verdict: the text-carrying version re-ran
+    # ngram_set per PAIR occurrence — a hot doc in k candidate pairs
+    # re-tokenized k times.) Jaccard over crc32-hashed grams equals string
+    # Jaccard up to hash collisions (~|grams|^2 / 2^32 per doc pair —
+    # the same family the candidate bands already rely on).
     from deduplicate_ray.stages.joins import bucket_join
 
-    def renamed(side: str) -> rd.Dataset:
+    def gram_blobs(side: str) -> rd.Dataset:
+        def f(t: pa.Table, side=side) -> pa.Table:
+            ids = t.column(id_col)
+            texts = t.column(text_col).to_pylist()
+            blobs = [np.sort(_ngram_hashes(x or "", n)).tobytes()
+                     for x in texts]
+            return pa.table({
+                side: ids,
+                f"grams_{side}": pa.array(blobs, pa.large_binary())})
         return ds.select_columns([id_col, text_col]).map_batches(
-            lambda t, side=side: t.rename_columns([side, f"text_{side}"]),
-            batch_format="pyarrow")
+            f, batch_format="pyarrow")
 
-    joined = bucket_join(pairs, renamed("src"), on="src", how="inner",
+    joined = bucket_join(pairs, gram_blobs("src"), on="src", how="inner",
                          num_buckets=num_partitions)
-    joined = bucket_join(joined, renamed("dst"), on="dst", how="inner",
+    joined = bucket_join(joined, gram_blobs("dst"), on="dst", how="inner",
                          num_buckets=num_partitions)
 
     def verify_joined(t: pa.Table) -> pa.Table:
         out_s, out_d, out_j = [], [], []
-        for a, b, ta, tb in zip(t.column("src").to_pylist(),
+        for a, b, ga, gb in zip(t.column("src").to_pylist(),
                                 t.column("dst").to_pylist(),
-                                t.column("text_src").to_pylist(),
-                                t.column("text_dst").to_pylist()):
-            sa, sb = ngram_set(ta or "", n), ngram_set(tb or "", n)
-            if not sa or not sb:
+                                t.column("grams_src").to_pylist(),
+                                t.column("grams_dst").to_pylist()):
+            ha = np.frombuffer(ga or b"", dtype=np.uint64)
+            hb = np.frombuffer(gb or b"", dtype=np.uint64)
+            if not len(ha) or not len(hb):
                 continue
-            j = len(sa & sb) / len(sa | sb)
+            inter = np.intersect1d(ha, hb, assume_unique=True).size
+            j = inter / (len(ha) + len(hb) - inter)
             if j >= threshold:
                 out_s.append(a); out_d.append(b); out_j.append(j)
         return pa.table({

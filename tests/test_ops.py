@@ -122,6 +122,28 @@ def test_ngram_jaccard_edges():
     assert (1, 2) in pairs and len(pairs) == 1
 
 
+def test_ngram_jaccard_scale_path_matches_broadcast():
+    """broadcast_limit=0 forces the bucketed-join scale path (hashed
+    n-gram blobs, vectorized intersection); results must match the
+    broadcast verify on the same input."""
+    rows = [
+        {"doc_id": 1, "text": "one two three four five six seven eight nine ten"},
+        {"doc_id": 2, "text": "one two three four five six seven eight nine eleven"},
+        {"doc_id": 3, "text": "alpha beta gamma delta epsilon"},
+        {"doc_id": 4, "text": "one two three four five six seven eight nine ten"},
+    ]
+    ds = rd.from_items(rows)
+    fast = simdedup.ngram_jaccard_edges(ds, id_col="doc_id", n=3,
+                                        threshold=0.5).take_all()
+    scale = simdedup.ngram_jaccard_edges(ds, id_col="doc_id", n=3,
+                                         threshold=0.5,
+                                         broadcast_limit=0).take_all()
+    as_set = lambda rows_: {(r["src"], r["dst"], round(r["jaccard"], 9))
+                            for r in rows_}
+    assert as_set(scale) == as_set(fast)
+    assert any(r["src"] == 1 and r["dst"] == 2 for r in scale)
+
+
 def test_embedding_cosine_edges_finds_duplicated_vector():
     rng = np.random.Generator(np.random.PCG64(9))
     vecs = rng.standard_normal((50, 16)).astype(np.float32)

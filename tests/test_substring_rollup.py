@@ -85,6 +85,25 @@ def test_sharded_group_scan_matches_unsharded():
     assert got == expect
 
 
+def test_keeper_report_matches_golden():
+    """Regression pin for the greedy keeper policy (not SQL-expressible,
+    so the driver records rows-only): the seeded sf0.01 corpus is
+    deterministic — the full 50-row delete report is pinned as a golden
+    parquet (round-2 verdict #7). Regenerate deliberately with the
+    snippet in the golden file's git log if the policy changes."""
+    import os
+    import pyarrow.parquet as pq
+    from deduplicate_ray.pipelines.queries import QUERIES
+    golden_path = os.path.join(os.path.dirname(__file__),
+                               "golden_keeper_report_sf001.parquet")
+    golden = pq.read_table(golden_path)
+    got = QUERIES["keeper_report_docs"]("/root/testdata/sf0.01")
+    got = got.sort_by([("to_delete", "ascending")])
+    assert got.num_rows == golden.num_rows
+    assert got.column_names == golden.column_names
+    assert got.equals(golden.cast(got.schema))
+
+
 def _members(table):
     hashes = exact.hash_corpus(rd.from_arrow(table))
     return exact.exact_members(hashes)
