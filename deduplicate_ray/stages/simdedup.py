@@ -356,11 +356,17 @@ def ngram_jaccard_edges(ds: rd.Dataset, id_col: str, text_col: str = "text",
 def embedding_cosine_edges(embeddings: rd.Dataset, threshold: float = 0.95,
                            num_planes: int = 6, seed: int = 42,
                            id_col: str = "vec_id",
-                           vec_col: str = "embedding") -> rd.Dataset:
+                           vec_col: str = "embedding",
+                           n_probe_bits: int = 0) -> rd.Dataset:
     """Near-dup pairs among embedding vectors: random-hyperplane buckets →
-    exact cosine verify within bucket. Bucketing assumption documented:
-    pairs landing in different buckets are missed (multi-probe/multi-table
-    raises recall at scale)."""
+    exact cosine verify within bucket.
+
+    Bucketing assumption documented: with ``n_probe_bits=0`` pairs landing
+    in different buckets are missed. ``n_probe_bits=1`` multi-probes: each
+    vector also visits its 1-bit-flip neighbor buckets (as a probe), so a
+    pair split by exactly one hyperplane — the dominant miss mode — meets
+    in one of the two home buckets; recall rises at ×(1+num_planes) emit
+    cost plus one global pair dedup."""
     bucketed = lsh_buckets(embeddings, num_planes=num_planes, seed=seed,
                            vec_col=vec_col)
 
@@ -371,7 +377,15 @@ def embedding_cosine_edges(embeddings: rd.Dataset, threshold: float = 0.95,
         # vectorized threshold pick over the upper triangle (round-1 ran a
         # per-pair Python double loop)
         iu, ju = np.triu_indices(len(ids), k=1)
-        keep = sims[iu, ju] >= threshold
+        if "_home" in g.columns:
+            home = g["_home"].to_numpy()
+            # at least one side must be in its HOME bucket: probe-probe
+            # pairs are covered in one of their homes, emitting them here
+            # would only add duplicates
+            pairable = home[iu] | home[ju]
+        else:
+            pairable = np.ones(len(iu), dtype=bool)
+        keep = (sims[iu, ju] >= threshold) & pairable
         ii, jj = iu[keep], ju[keep]
         a, b = ids[ii], ids[jj]
         lo = np.minimum(a, b)
@@ -380,5 +394,34 @@ def embedding_cosine_edges(embeddings: rd.Dataset, threshold: float = 0.95,
                              "cosine": sims[ii, jj].astype(np.float64)},
                             columns=["src", "dst", "cosine"])
 
-    return bucketed.select_columns([id_col, vec_col, "bucket"]).groupby(
-        "bucket").map_groups(emit, batch_format="pandas")
+    if n_probe_bits <= 0:
+        return bucketed.select_columns([id_col, vec_col, "bucket"]).groupby(
+            "bucket").map_groups(emit, batch_format="pandas")
+
+    from deduplicate_ray.stages.similarity import probe_buckets
+
+    def explode_probes(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        vec = t.column(vec_col).to_pylist()
+        buckets = t.column("bucket").to_pylist()
+        out_i, out_v, out_b, out_h = [], [], [], []
+        for i, v, b in zip(ids, vec, buckets):
+            for pb in probe_buckets(b, num_planes, n_probe_bits):
+                out_i.append(i); out_v.append(v)
+                out_b.append(int(pb)); out_h.append(pb == b)
+        return pa.table({id_col: pa.array(out_i),
+                         vec_col: pa.array(out_v),
+                         "bucket": pa.array(out_b, pa.int64()),
+                         "_home": pa.array(out_h, pa.bool_())})
+
+    exploded = bucketed.select_columns([id_col, vec_col, "bucket"]) \
+        .map_batches(explode_probes, batch_format="pyarrow")
+    pairs = exploded.groupby("bucket").map_groups(emit,
+                                                  batch_format="pandas")
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        # the same pair can surface in both endpoints' home buckets
+        return g.drop_duplicates(subset=["src", "dst"])
+
+    return pairs.groupby(["src", "dst"]).map_groups(dedup,
+                                                    batch_format="pandas")

@@ -102,25 +102,43 @@ def lsh_buckets(embeddings: rd.Dataset, num_planes: int = 8, seed: int = 42,
     return embeddings.map_batches(bucketize, batch_format="pyarrow")
 
 
+def probe_buckets(bucket: int, num_planes: int, n_probe_bits: int) -> np.ndarray:
+    """Multi-probe set: the bucket itself plus every bucket within Hamming
+    distance ``n_probe_bits`` of it (1-bit flips of the hyperplane sign
+    word). A near neighbor that lands on the other side of exactly one
+    hyperplane — the dominant LSH miss mode — is recovered at the cost of
+    ``num_planes`` extra probes per extra bit."""
+    out = {int(bucket)}
+    frontier = {int(bucket)}
+    for _ in range(max(0, n_probe_bits)):
+        frontier = {b ^ (1 << i) for b in frontier for i in range(num_planes)}
+        out |= frontier
+    return np.fromiter(out, dtype=np.int64, count=len(out))
+
+
 def knn_cosine_lsh(embeddings: rd.Dataset, queries: np.ndarray, k: int = 10,
                    num_planes: int = 6, seed: int = 42,
-                   id_col: str = "vec_id", vec_col: str = "embedding") -> rd.Dataset:
-    """ANN top-k: probe only the bucket each query hashes to. Scale path —
-    trades recall (documented) for a ~2^planes candidate reduction."""
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   n_probe_bits: int = 1) -> rd.Dataset:
+    """ANN top-k: probe the bucket each query hashes to plus its
+    ``n_probe_bits``-flip neighbors (multi-probe; 0 = single-probe). Scale
+    path — trades recall (documented) for a ~2^planes/(1+planes·bits)
+    candidate reduction."""
     rng = np.random.Generator(np.random.PCG64(seed))
     qn = _normalize(queries)
     planes = rng.standard_normal((num_planes, qn.shape[1]))
     qbuckets = hyperplane_signs(qn, planes)
-    qref = ray.put((qn, planes, qbuckets))
+    qprobes = [probe_buckets(b, num_planes, n_probe_bits) for b in qbuckets]
+    qref = ray.put((qn, planes, qprobes))
 
     def probe(batch: pa.Table) -> pa.Table:
-        q, pl, qb = ray.get(qref)
+        q, pl, qp = ray.get(qref)
         e = _normalize(_batch_matrix(batch, vec_col))
         ids = np.asarray(batch.column(id_col).to_pylist())
         eb = hyperplane_signs(e, pl)
         out_q, out_i, out_s = [], [], []
         for qi in range(q.shape[0]):
-            mask = eb == qb[qi]
+            mask = np.isin(eb, qp[qi])
             if not mask.any():
                 continue
             sub = e[mask]

@@ -144,6 +144,37 @@ def test_ngram_jaccard_scale_path_matches_broadcast():
     assert any(r["src"] == 1 and r["dst"] == 2 for r in scale)
 
 
+def test_multiprobe_raises_embedding_recall():
+    """1-bit multi-probe must recover pairs split by exactly one
+    hyperplane: recall vs the exact pair set is measured, must improve on
+    single-probe, and must never emit a pair below threshold."""
+    rng = np.random.Generator(np.random.PCG64(7))
+    base = rng.standard_normal((60, 12)).astype(np.float64)
+    vecs = np.concatenate([base, base + 0.02 * rng.standard_normal((60, 12))])
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    iu, ju = np.triu_indices(len(vecs), k=1)
+    exact_pairs = {(int(a), int(b)) for a, b in
+                   zip(iu[sims[iu, ju] >= 0.98], ju[sims[iu, ju] >= 0.98])}
+    t = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.reshape(-1), pa.float64()), 12)})
+    ds = rd.from_arrow(t)
+
+    def pairs_of(n_probe_bits):
+        rows = simdedup.embedding_cosine_edges(
+            ds, threshold=0.98, num_planes=8, n_probe_bits=n_probe_bits
+        ).take_all()
+        return {(int(r["src"]), int(r["dst"])) for r in rows}
+
+    single, multi = pairs_of(0), pairs_of(1)
+    assert single <= exact_pairs and multi <= exact_pairs  # no false pairs
+    assert single < multi <= exact_pairs or single == exact_pairs
+    assert len(multi) > len(single) or single == exact_pairs
+    assert len(multi) / len(exact_pairs) >= 0.9
+
+
 def test_embedding_cosine_edges_finds_duplicated_vector():
     rng = np.random.Generator(np.random.PCG64(9))
     vecs = rng.standard_normal((50, 16)).astype(np.float32)
