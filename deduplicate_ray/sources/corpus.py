@@ -78,6 +78,43 @@ def read_loose_files(paths: str | list[str], repo: str = "local",
     return ds.map_batches(to_corpus, batch_format="pyarrow")
 
 
+def scan_dirs(paths: str | list[str], repo: str = "local") -> rd.Dataset:
+    """Directory side table for loose-file mode: one row per directory with
+    direct file and subdir counts. This is the missing analog of the
+    reference's walk-time empty-dir detection
+    (``dupe_analysis.py:224-232`` seeds, ``:636-642`` census) — a content
+    table has no rows for an empty directory, so the census must come from
+    the ingest walk itself. The walk touches directory entries only (no
+    file reads; O(#dirs), the same cost the reference pays single-threaded
+    in ``os.walk``)."""
+    import os
+    dirs, n_files, n_subdirs = [], [], []
+    for root in ([paths] if isinstance(paths, str) else paths):
+        for dirpath, dirnames, filenames in os.walk(root):
+            rel = os.path.relpath(dirpath, root)
+            d = repo if rel == "." else f"{repo}/{rel.replace(os.sep, '/')}"
+            dirs.append(d)
+            n_files.append(len(filenames))
+            n_subdirs.append(len(dirnames))
+    return rd.from_arrow(pa.table({
+        "dir": pa.array(dirs, pa.string()),
+        "n_files": pa.array(n_files, pa.int64()),
+        "n_subdirs": pa.array(n_subdirs, pa.int64())}))
+
+
+def empty_dirs(dirs: rd.Dataset) -> rd.Dataset:
+    """A6 empty-dir census over the :func:`scan_dirs` side table (the
+    reference's ``empty_dirs`` report, ``dupe_analysis.py:636-642``)."""
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.equal(t.column("n_files"), 0),
+                       pc.equal(t.column("n_subdirs"), 0))
+        return t.filter(mask).select(["dir"])
+
+    return dirs.map_batches(f, batch_format="pyarrow")
+
+
 def documents_as_corpus(sf_dir: str) -> rd.Dataset:
     """Adapt the driver testdata ``documents`` table
     (doc_id, text, lang, source, n_chars) to the corpus schema so the dedup

@@ -144,6 +144,22 @@ def test_ngram_jaccard_scale_path_matches_broadcast():
     assert any(r["src"] == 1 and r["dst"] == 2 for r in scale)
 
 
+def test_loose_file_ingest_and_empty_dir_census(tmp_path):
+    """S1 loose-file ingest + the A6 empty-dir census side table: files
+    become corpus rows; the walk-time dirs table reports the directory
+    with no files and no subdirs (reference dupe_analysis.py:636-642)."""
+    from deduplicate_ray.sources import corpus as src
+    (tmp_path / "a").mkdir()
+    (tmp_path / "a" / "x.txt").write_text("hello world")
+    (tmp_path / "b").mkdir()            # has a subdir only
+    (tmp_path / "b" / "c").mkdir()      # truly empty
+    rows = src.read_loose_files(str(tmp_path), repo="r").take_all()
+    assert {r["path"].rsplit("/", 1)[-1] for r in rows} == {"x.txt"}
+    dirs = src.scan_dirs(str(tmp_path), repo="r")
+    empties = {r["dir"] for r in src.empty_dirs(dirs).take_all()}
+    assert empties == {"r/b/c"}
+
+
 def test_multiprobe_raises_embedding_recall():
     """1-bit multi-probe must recover pairs split by exactly one
     hyperplane: recall vs the exact pair set is measured, must improve on
