@@ -273,6 +273,23 @@ def q_keeper_report_docs(sf_dir: str):
         ("keeper_dir", pa.string()), ("size", pa.int64())]))
 
 
+def q_keeper_scalable_docs(sf_dir: str):
+    """Cluster-scale keeper election (no driver graph): per-group keeper by
+    corpus-wide directory dup density with (dir, path) tie-break — unlike
+    the sequential greedy, this policy IS SQL-expressible (window
+    functions), so it gets a full oracle."""
+    from deduplicate_ray.stages import keeper as keeper_mod
+    corpus = _seeded_corpus(sf_dir)
+    hashes = exact.hash_corpus(corpus)
+    members = exact.exact_members(hashes)
+    out = keeper_mod.elect_keepers_scalable(members)
+    return _as_table(out, pa.schema([
+        ("file_id", pa.string()), ("exact_group_id", pa.string()),
+        ("dir", pa.string()), ("size", pa.int64()),
+        ("is_kept", pa.bool_()), ("keeper", pa.string()),
+        ("keeper_dir", pa.string())]))
+
+
 # ---------------------------------------------------------------- text ops
 
 def q_token_counts_docs(sf_dir: str):
@@ -578,6 +595,7 @@ QUERIES = {
     "cascade_dup_groups_docs": q_cascade_dup_groups_docs,
     "dir_rollup_docs": q_dir_rollup_docs,
     "keeper_report_docs": q_keeper_report_docs,
+    "keeper_scalable_docs": q_keeper_scalable_docs,
     "corpus_total_bytes": q_corpus_total_bytes,
     "zero_size_docs": q_zero_size_docs,
     "token_counts_docs": q_token_counts_docs,
@@ -620,6 +638,39 @@ ORACLE_SQL = {
         WHERE md5(substr(text, 1, 40)) IN (
             SELECT md5(substr(text, 1, 40)) FROM documents
             GROUP BY 1 HAVING COUNT(*) > 1)
+    """,
+    "keeper_scalable_docs": """
+        WITH seeded AS (
+            SELECT source AS repo,
+                   'doc' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+                   text FROM documents
+            UNION ALL
+            SELECT source,
+                   'doc' || CAST(doc_id + 1000000 AS VARCHAR) || '.txt',
+                   text FROM documents WHERE doc_id % 10 = 0),
+        members AS (
+            SELECT repo || '::' || path AS file_id,
+                   sha256(text) AS exact_group_id,
+                   repo AS dir,
+                   CAST(strlen(text) AS BIGINT) AS size,
+                   path
+            FROM seeded
+            WHERE sha256(text) IN (
+                SELECT sha256(text) FROM seeded
+                GROUP BY 1 HAVING COUNT(*) > 1)),
+        density AS (SELECT dir, COUNT(*) AS dup_n FROM members GROUP BY dir),
+        ranked AS (
+            SELECT m.file_id, m.exact_group_id, m.dir, m.size,
+                   row_number() OVER (
+                       PARTITION BY m.exact_group_id
+                       ORDER BY d.dup_n DESC, m.dir, m.path) AS rn
+            FROM members m JOIN density d USING (dir)),
+        keepers AS (
+            SELECT exact_group_id, file_id AS keeper, dir AS keeper_dir
+            FROM ranked WHERE rn = 1)
+        SELECT r.file_id, r.exact_group_id, r.dir, r.size,
+               (r.file_id = k.keeper) AS is_kept, k.keeper, k.keeper_dir
+        FROM ranked r JOIN keepers k USING (exact_group_id)
     """,
     "cascade_dup_groups_docs": """
         WITH seeded AS (

@@ -506,6 +506,80 @@ def run_election(files: dict, dwd: dict):
 
 
 # --------------------------------------------------------------------------
+# cluster-scale election (no driver graph)
+# --------------------------------------------------------------------------
+
+def elect_keepers_scalable(members: rd.Dataset,
+                           num_partitions: int = 16) -> rd.Dataset:
+    """Fully distributed keeper election over exact-dup membership rows —
+    the 100 TB path where the duplicate population itself (billions of
+    rows) cannot ride the driver graph of :func:`elect`.
+
+    Policy (deterministic, deliberately simpler than the reference's
+    sequential greedy — documented deviation): within each exact-dup
+    group the keeper is the member whose directory holds the MOST
+    duplicate members corpus-wide (the same "directory that concentrates
+    dupes wins" signal the reference's ``calc_max`` ranks first), with
+    smallest ``(dir, path)`` as the tie-break. Unlike the reference's
+    multi-pass greedy, groups are decided independently — no counter
+    bubbling between elections — which is what makes the computation one
+    groupby instead of a sequential loop. Per-group keeper quality is
+    close in practice (the dup-density signal dominates) and the survivor
+    CONTENT set is identical by construction: exactly one member of every
+    group survives.
+
+    Physical plan: one vectorized dir projection + groupby count for the
+    density relation (O(#dirs) rows), carried to members by broadcast
+    (or bucketed join past the budget); one groupby(exact_group_id)
+    map_groups with a vectorized per-group argmax. Output rows:
+    ``(file_id, exact_group_id, dir, size, is_kept, keeper, keeper_dir)``
+    — the same schema as :func:`decisions_table`."""
+    import numpy as np
+    import pandas as pd
+
+    rel = members.select_columns(
+        ["file_id", "exact_group_id", "repo", "path", "size"])
+
+    def add_dir(t: pa.Table) -> pa.Table:
+        return t.append_column("dir", _dir_col(t))
+
+    with_dir = rel.map_batches(add_dir, batch_format="pyarrow")
+
+    # corpus-wide dup density per directory (map-side combine → O(#dirs))
+    def dir_counts(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(_dir_col(t))
+        return pa.table({"dir": vc.field("values"),
+                         "dup_n": pc.cast(vc.field("counts"), pa.int64())})
+
+    density = members.select_columns(["repo", "path"]) \
+        .map_batches(dir_counts, batch_format="pyarrow") \
+        .groupby("dir").aggregate(Sum("dup_n", alias_name="dup_n"))
+
+    joined = joins.bucket_join(with_dir, density, on="dir", how="left",
+                               num_buckets=num_partitions)
+
+    def decide(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["dup_n", "dir", "path"],
+                          ascending=[False, True, True], kind="stable")
+        keeper_rows = g.groupby("exact_group_id", sort=False).head(1)
+        k_by_group = keeper_rows.set_index("exact_group_id")
+        kid = g["exact_group_id"].map(k_by_group["file_id"])
+        kdir = g["exact_group_id"].map(k_by_group["dir"])
+        return pd.DataFrame({
+            "file_id": g["file_id"],
+            "exact_group_id": g["exact_group_id"],
+            "dir": g["dir"],
+            "size": g["size"].astype(np.int64),
+            "is_kept": (g["file_id"] == kid),
+            "keeper": kid,
+            "keeper_dir": kdir,
+        })
+
+    return joined.groupby("exact_group_id").map_groups(
+        decide, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
 # public API
 # --------------------------------------------------------------------------
 

@@ -207,3 +207,45 @@ def test_dir_collapse_cleanup():
     file_rows = [r for r in rep if not r["is_dir"]]
     assert all(not r["to_delete"].startswith("folder2")
                for r in file_rows)
+
+
+def test_scalable_election_survivor_set_and_density_policy():
+    """Cluster-scale election (no driver graph): exactly one keeper per
+    exact-dup group survives, deletes always point at a same-group keeper,
+    and the dup-density policy keeps the copies in the directory that
+    concentrates the duplicates (folder1 holds a copy of everything)."""
+    paths = ["folder1/a_1", "folder1/b_1", "folder1/c_1",
+             "folder2/a_2", "folder3/b_2", "folder3/c_2",
+             "folder4/unique_only"]
+    t = _corpus(paths)
+    ds = rd.from_arrow(t)
+    hashes = exact.hash_corpus(ds).materialize()
+    members = exact.exact_members(hashes)
+    rows = keeper.elect_keepers_scalable(members).take_all()
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r["exact_group_id"], []).append(r)
+    assert len(by_group) == 3          # a, b, c families
+    for g, rs in by_group.items():
+        keepers = [r for r in rs if r["is_kept"]]
+        assert len(keepers) == 1
+        kid = keepers[0]["file_id"]
+        for r in rs:
+            assert r["keeper"] == kid  # every delete points at the keeper
+            assert r["keeper_dir"] == keepers[0]["dir"]
+    # density policy: folder1 (3 dup members) outranks folder2/folder3
+    for rs in by_group.values():
+        k = [r for r in rs if r["is_kept"]][0]
+        assert k["dir"] == "folder1"
+
+
+def test_scalable_election_deterministic():
+    paths = ["r/x/a_1", "r/y/a_2", "r/x/b_1", "r/y/b_2"]
+    ds = rd.from_arrow(_corpus(paths))
+    hashes = exact.hash_corpus(ds).materialize()
+    members = exact.exact_members(hashes)
+    r1 = sorted((r["file_id"], r["is_kept"]) for r in
+                keeper.elect_keepers_scalable(members).take_all())
+    r2 = sorted((r["file_id"], r["is_kept"]) for r in
+                keeper.elect_keepers_scalable(members).take_all())
+    assert r1 == r2
