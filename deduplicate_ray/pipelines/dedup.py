@@ -249,11 +249,11 @@ def near_dup_clusters(corpus: rd.Dataset, cfg: PipelineConfig | None = None,
     # near-dup cluster become their own cluster (id = representative file_id)
     # when the family has >1 member.
     if meta_tbl is not None:
-        # driver fold over the already-fetched metadata table: build ONE
-        # per-family table (sha256 → rep, fam_size, cluster) with
-        # family-sized joins, then a single sha256-keyed join carries it to
-        # the members — the old per-member rep_file_id column needed two
-        # member-sized joins plus the elect-phase join that produced it.
+        # driver fold over the already-fetched metadata table: everything
+        # is an index lookup against the per-family election table — one
+        # C++ index_in per relation plus numpy bincount for family sizes.
+        # (The join formulation cost ~2.5 s of serial driver time at 1.2M
+        # members; this is the same lookup without building joined tables.)
         import ray as _ray1
         from deduplicate_ray.stages.exchange import _as_arrow_block
         rep_cl_blocks = [b for b in map(
@@ -262,23 +262,33 @@ def near_dup_clusters(corpus: rd.Dataset, cfg: PipelineConfig | None = None,
         rep_cl = pa.concat_tables(rep_cl_blocks) if rep_cl_blocks else \
             pa.table({"file_id": pa.array([], pa.string()),
                       "cluster_id": pa.array([], pa.string())})
-        rep_cl = rep_cl.select(["file_id", "cluster_id"]).rename_columns(
-            ["file_id_min", "cluster_id"])
-        fams = reps_tbl.join(rep_cl, keys="file_id_min",
-                             join_type="left outer")
-        fam_sizes = pa.TableGroupBy(meta_tbl, "sha256").aggregate(
-            [("file_id", "count")]).rename_columns(["sha256", "fam_size"])
-        fams = fams.join(fam_sizes, keys="sha256")
-        t = meta_tbl.join(fams, keys="sha256")
-        keep = pc.or_(pc.is_valid(t.column("cluster_id")),
-                      pc.greater(t.column("fam_size"), 1))
-        t = t.filter(keep)
-        cluster = pc.coalesce(t.column("cluster_id"), t.column("file_id_min"))
-        _lap("fold")
-        return rd.from_arrow(pa.table({
-            "file_id": t.column("file_id").combine_chunks(),
+        fam_keys = reps_tbl.column("sha256").combine_chunks()
+        rep_ids = reps_tbl.column("file_id_min").combine_chunks()
+        # per-family cluster id (null when the rep joined no near-dup
+        # cluster): index_in against the (small) rep-cluster relation
+        rep_pos = pc.index_in(rep_ids,
+                              value_set=rep_cl.column("file_id").combine_chunks())
+        cl_col = rep_cl.column("cluster_id").combine_chunks()
+        # guard: take() needs at least the null slot when rep_cl is empty
+        cluster_per_fam = cl_col.take(rep_pos) if len(cl_col) else \
+            pa.nulls(len(rep_ids), pa.string())
+        # member → family index (total: every member's sha256 IS a family)
+        idx_arr = pc.index_in(meta_tbl.column("sha256").combine_chunks(),
+                              value_set=fam_keys)
+        idx = idx_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        fam_size = np.bincount(idx, minlength=len(fam_keys))
+        member_cluster = cluster_per_fam.take(idx_arr)
+        member_rep = rep_ids.take(idx_arr)
+        keep = pc.or_(pc.is_valid(member_cluster),
+                      pa.array(fam_size[idx] > 1))
+        cluster = pc.coalesce(member_cluster, member_rep)
+        out = pa.table({
+            "file_id": meta_tbl.column("file_id").combine_chunks(),
             "cluster_id": cluster.combine_chunks()
-            if isinstance(cluster, pa.ChunkedArray) else cluster}))
+            if isinstance(cluster, pa.ChunkedArray) else cluster,
+        }).filter(keep)
+        _lap("fold")
+        return rd.from_arrow(out)
 
     member_map = exact.representatives(narrow)  # (sha256, rep_file_id)
     fam = joins.bucket_join(
