@@ -153,9 +153,29 @@ def q_ngram_jaccard_pairs_docs(sf_dir: str):
 
 
 def q_containment_docs(sf_dir: str):
-    """Stage-3 substring containment within each source partition
-    (rows-only)."""
-    corpus = documents_as_corpus(sf_dir)
+    """Stage-3 substring containment within each source partition, over a
+    corpus seeded with deterministic host docs (every 25th doc's text
+    wrapped in a prefix/suffix → real embedded-file pairs at every sf;
+    oracle = the quadratic LIKE self-join DuckDB can afford at sf0.01)."""
+    base = documents_as_corpus(sf_dir)
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def host_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        b = batch.filter(pa.array(ids % 25 == 0))
+        return pa.table({
+            "repo": b.column("source").cast(pa.string()),
+            "path": pa.array([f"doc{v + 2000000}.txt"
+                              for v in b.column("doc_id").to_pylist()]),
+            "commit": pa.array([""] * b.num_rows, pa.string()),
+            "lang": b.column("lang").cast(pa.string()),
+            "content": pa.array(
+                [f"HOST PREAMBLE {t or ''} HOST EPILOGUE"
+                 for t in b.column("text").to_pylist()], pa.string()),
+        })
+
+    corpus = base.union(docs.map_batches(host_rows, batch_format="pyarrow"))
     cfg = PipelineConfig(min_containment_len=64)
     ds = substring.add_ids_only(corpus)
     out = substring.containment_edges(ds, cfg, partition_col="repo")
@@ -638,6 +658,25 @@ ORACLE_SQL = {
         WHERE md5(substr(text, 1, 40)) IN (
             SELECT md5(substr(text, 1, 40)) FROM documents
             GROUP BY 1 HAVING COUNT(*) > 1)
+    """,
+    "containment_docs": """
+        WITH c AS (
+            SELECT source AS repo,
+                   source || '::doc' || CAST(doc_id AS VARCHAR) || '.txt'
+                       AS file_id,
+                   text
+            FROM documents
+            UNION ALL
+            SELECT source,
+                   source || '::doc' || CAST(doc_id + 2000000 AS VARCHAR)
+                       || '.txt',
+                   'HOST PREAMBLE ' || text || ' HOST EPILOGUE'
+            FROM documents WHERE doc_id % 25 = 0)
+        SELECT DISTINCT a.file_id AS src, b.file_id AS dst
+        FROM c a JOIN c b ON a.repo = b.repo
+        WHERE strlen(a.text) >= 64
+          AND strlen(b.text) > strlen(a.text)
+          AND position(a.text IN b.text) > 0
     """,
     "keeper_scalable_docs": """
         WITH seeded AS (
