@@ -37,7 +37,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (same output column names); pipelines
-    with no SQL analog (MinHash/LSH clustering, SimHash, fingerprints, ANN,
-    multimodal stubs) are intentionally absent → rows-only check."""
+    with no SQL analog (MinHash/LSH clustering, SimHash, fingerprints,
+    approximate ANN, multimodal stubs) are intentionally absent →
+    rows-only check (several of those carry pinned-golden tests instead)."""
     from deduplicate_ray.pipelines.queries import ORACLE_SQL
     return dict(ORACLE_SQL)

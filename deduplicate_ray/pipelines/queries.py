@@ -144,7 +144,9 @@ def q_simhash_pairs_docs(sf_dir: str):
 
 
 def q_ngram_jaccard_pairs_docs(sf_dir: str):
-    """Exact word-3-gram Jaccard pairs >= 0.8 (rows-only)."""
+    """Exact word-3-gram Jaccard pairs >= 0.8 (full SQL oracle:
+    the verify stage is exact and the candidate generator has full
+    recall on the seeded corpus)."""
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
     out = simdedup.ngram_jaccard_edges(docs, id_col="doc_id", n=3,
                                        threshold=0.8)
@@ -343,7 +345,8 @@ def q_lang_stats_docs(sf_dir: str):
 
 
 def q_lang_guess_docs(sf_dir: str):
-    """Heuristic language ID (actor-pool stage; rows-only)."""
+    """Heuristic language ID + quality score (actor-pool stage;
+    full SQL oracle mirroring the stopword-argmax and score ops)."""
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
     out = docs.map_batches(textfn.TextAnalyzer, batch_format="pyarrow",
                            batch_size=512, concurrency=(1, 2), num_cpus=1)
@@ -658,6 +661,85 @@ ORACLE_SQL = {
         WHERE md5(substr(text, 1, 40)) IN (
             SELECT md5(substr(text, 1, 40)) FROM documents
             GROUP BY 1 HAVING COUNT(*) > 1)
+    """,
+    # Exact oracle for the n-gram Jaccard detector: the verify stage
+    # computes TRUE word-3-gram set Jaccard per candidate pair, and the
+    # multi-band MinHash candidate generator reaches full recall on the
+    # seeded corpus (gated in tests at >=0.99), so the quadratic
+    # self-join DuckDB can afford at sf0.01 is an exact oracle. 3-grams
+    # are built by zipping the token list against its shifted slices
+    # (the trailing zip entries are NULL-padded and dropped).
+    "ngram_jaccard_pairs_docs": r"""
+        WITH grams AS (
+          SELECT DISTINCT doc_id, g
+          FROM (
+            SELECT doc_id, unnest(list_transform(
+              list_zip(t, t[2:], t[3:]),
+              x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS g
+            FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+                  FROM documents)
+          ) WHERE g IS NOT NULL
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS both
+          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT i.src, i.dst,
+               i.both * 1.0 / (sa.n + sb.n - i.both) AS jaccard
+        FROM inter i JOIN sizes sa ON sa.doc_id = i.src
+                     JOIN sizes sb ON sb.doc_id = i.dst
+        WHERE i.both * 1.0 / (sa.n + sb.n - i.both) >= 0.8
+    """,
+    # Exact oracle for the heuristic language ID + composite quality
+    # score: per-language stopword-hit counts on the first 2000 chars
+    # (Python text[:2000] == DuckDB text[1:2000]), argmax with
+    # first-max tie-break in sorted lang order (de > en > es > fr),
+    # 'unknown' when no language hits. quality_score mirrors
+    # functions/text.py:quality_score op-for-op (same IEEE op order →
+    # bit-identical doubles).
+    "lang_guess_docs": r"""
+        WITH f AS (
+          SELECT doc_id,
+            LENGTH(text) AS L,
+            len(regexp_extract_all(text, '[^\w\s]')) * 1.0 AS punct_cnt,
+            len(regexp_extract_all(text, '\d')) * 1.0 AS digit_cnt,
+            len(regexp_split_to_array(trim(text), '\s+')) * 1.0 AS toks,
+            len(regexp_extract_all(lower(text),
+                '\b(?:a|and|for|in|is|it|of|that|the|to)\b')) * 1.0
+                AS stop_hits,
+            len(regexp_extract_all(lower(text[1:2000]),
+                '\b(?:das|den|der|die|ein|ist|mit|und|von|zu)\b')) AS de_hits,
+            len(regexp_extract_all(lower(text[1:2000]),
+                '\b(?:a|and|for|in|is|it|of|that|the|to)\b')) AS en_hits,
+            len(regexp_extract_all(lower(text[1:2000]),
+                '\b(?:de|el|en|es|la|los|que|un|una|y)\b')) AS es_hits,
+            len(regexp_extract_all(lower(text[1:2000]),
+                '\b(?:dans|des|est|et|la|le|les|que|un|une)\b')) AS fr_hits
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+            CASE WHEN greatest(de_hits, en_hits, es_hits, fr_hits) = 0
+                     THEN 'unknown'
+                 WHEN de_hits >= en_hits AND de_hits >= es_hits
+                      AND de_hits >= fr_hits THEN 'de'
+                 WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+                 WHEN es_hits >= fr_hits THEN 'es'
+                 ELSE 'fr' END AS lang_guess,
+            CASE WHEN L = 0 THEN 0.0 ELSE punct_cnt / L END AS punct_ratio,
+            CASE WHEN L = 0 THEN 0.0 ELSE digit_cnt / L END AS digit_ratio,
+            CASE WHEN L = 0 THEN 0.0
+                 ELSE least(stop_hits /
+                            (CASE WHEN toks = 0 THEN 1.0 ELSE toks END), 1.0)
+                 END AS stop_ratio
+          FROM f
+        )
+        SELECT doc_id, lang_guess,
+          1.0 - least(1.0, (punct_ratio * 1.5 + digit_ratio * 1.5)
+                      + (0.3 - least(stop_ratio, 0.3)) * 1.0)
+              AS quality_score
+        FROM g
     """,
     "containment_docs": """
         WITH c AS (
