@@ -1,0 +1,57 @@
+"""Pinned-golden value hashes for the rows-only driver queries.
+
+These pipelines have no SQL oracle by design (MinHash/LSH clustering,
+SimHash banding, winnowing fingerprints, approximate ANN, multimodal
+stubs), so the driver records only a row count for them. The seeded
+sf0.01 corpus is deterministic and every query below is
+partition-count-invariant (verified at num_cpus=4 and 16), so the full
+output is pinned here as an order-insensitive value hash — a regression
+in any of these engines is caught by more than a row count. Canonical
+form mirrors the driver's compare: columns sorted by name, rows sorted
+by all columns, %.6g CSV. If a hash moves, diff the query output against
+the previous build before re-pinning, and note why in the commit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+
+GOLDEN = {
+    "minhash_clusters_docs": (47, "81ac95530711ca0dbaff555bb0e4a452"),
+    "simhash_pairs_docs": (21, "2ec6e4937f7db52bf6d1933eb861ab05"),
+    "fingerprint_docs": (500, "b45f46f11657f7b5803ece0aafc31cb4"),
+    "knn_cosine_lsh": (50, "112f577a77be4e1255284895a659950c"),
+    "knn_cosine_ivf": (50, "c246b541491a5dec9b42f799a0091a8c"),
+    "media_features": (64, "46d48bb6d95b188bbfcc268622c16973"),
+    "media_frames": (128, "515fa197faa8f8076271da6770745301"),
+}
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            # lists / numpy arrays / bytes -> stable strings (repr of a
+            # large numpy array would elide elements, so listify first)
+            df[c] = df[c].map(
+                lambda v: repr(v.tolist() if isinstance(v, np.ndarray)
+                               else v))
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return hashlib.md5(
+        df.to_csv(index=False, float_format="%.6g").encode()).hexdigest()
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN))
+def test_rows_only_query_matches_golden(name):
+    from deduplicate_ray.pipelines.queries import QUERIES
+    res = QUERIES[name](SF_DIR)
+    df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    rows, expected = GOLDEN[name]
+    assert len(df) == rows
+    assert value_hash(df) == expected
