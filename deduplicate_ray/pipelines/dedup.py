@@ -189,10 +189,13 @@ def near_dup_clusters(corpus: rd.Dataset, cfg: PipelineConfig | None = None,
 
     # the band-table checkpoint is part of the north-rule artifact set
     # (signatures, band tables, union-find state all land on Parquet with
-    # manifests); the fused edge path below does not consume it, but a
-    # resumed or externally-audited run does
-    bands_ck = _pin(lambda: minhash.explode_bands(sigs, cfg), cfg, "bands") \
-        if cfg.checkpoint_dir else None
+    # manifests) and keeps REAL file ids so it audits stand-alone. The
+    # edge computation below does not read it (the fused path has its own
+    # int shuffle; the modular path re-explodes bands over run-scoped int
+    # ids — a cheap vector op over the pinned signatures), but a resumed
+    # or externally-audited run does.
+    if cfg.checkpoint_dir:
+        _pin(lambda: minhash.explode_bands(sigs, cfg), cfg, "bands")
 
     def _edges():
         # fused fast path (one narrow int shuffle, inline verify) while the
@@ -202,22 +205,34 @@ def near_dup_clusters(corpus: rd.Dataset, cfg: PipelineConfig | None = None,
         # verification — a pair surfaces from ~O(bands) buckets (measured
         # 20x duplication on the dup-rich bench corpus) and the MinHash
         # estimate is band-independent, so deduping the cheap (src, dst)
-        # string relation first shrinks the expensive signature-join
-        # verify by the duplication factor with identical output.
+        # relation first shrinks the expensive signature-join verify by
+        # the duplication factor with identical output.
         fast = lsh.fused_candidate_edges(sigs, cfg)
         if fast is not None:
             return fast
-        bands = bands_ck if bands_ck is not None \
-            else minhash.explode_bands(sigs, cfg)
+        # Compact int-id chain: every relation of the modular plan (bands,
+        # candidate pairs, dedup, verify) carries a dense run-scoped int64
+        # id instead of the file-id string — several-fold less exchange /
+        # object-store traffic and int hash/compare kernels throughout
+        # (measured: the string chain's pair stages were the anti-scaling
+        # seconds of the 8->32 pair at 3.6M rows). Ids translate back to
+        # file ids right after verify; on-disk artifacts (bands_ck, edges
+        # checkpoint) keep real file ids.
+        ids_ds, fid_arr = minhash.with_int_ids(sigs)
+        sigs_int = ids_ds.map_batches(
+            lambda t: pa.table({"file_id": t.column("int_id"),
+                                "sig": t.column("sig")}),
+            batch_format="pyarrow")
+        bands = minhash.explode_bands(sigs_int, cfg)
         _lap("mod:bands")
         e = lsh.candidate_pairs(bands, cfg,
-                                n_rows_hint=sigs.count() * cfg.lsh_bands)
+                                n_rows_hint=len(fid_arr) * cfg.lsh_bands)
         _lap("mod:candidates")
         d = lsh.dedup_edges(e, cfg.num_partitions)
         _lap("mod:dedup")
-        v = lsh.verify_pairs(d, sigs, cfg)
+        v = lsh.verify_pairs(d, sigs_int, cfg)
         _lap("mod:verify")
-        return v
+        return lsh.translate_edges(v, fid_arr, cfg)
 
     # edges are always pinned (parquet checkpoint or object-store
     # materialize): union-find probes the pinned relation with a

@@ -59,6 +59,33 @@ def _int_col(batch: pa.Table, name: str) -> np.ndarray:
     return batch.column(name).combine_chunks().to_numpy(zero_copy_only=False)
 
 
+def _id_type_of(t: pa.Table) -> pa.DataType:
+    """The document-id dtype riding a band/pair relation — string for the
+    classic chain, int64 for the compact int-id chain."""
+    for name in ("file_id", "src"):
+        if name in t.schema.names:
+            return t.schema.field(name).type
+    return pa.string()
+
+
+def _unique_pairs(src: np.ndarray, dst: np.ndarray
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Order-free distinct over (src, dst) arrays. Int ids below 2^32 pack
+    into one uint64 key for a single ``np.unique`` (the hot path of the
+    compact chain); anything else goes through pandas ``drop_duplicates``
+    (strings, or a >4G-document id space)."""
+    if (src.dtype.kind in "iu" and len(src)
+            and int(max(src.max(), dst.max())) < 2**32
+            and int(min(src.min(), dst.min())) >= 0):
+        packed = (src.astype(np.uint64) << np.uint64(32)) \
+            | dst.astype(np.uint64)
+        uniq = np.unique(packed)
+        return ((uniq >> np.uint64(32)).astype(src.dtype),
+                (uniq & np.uint64(0xFFFFFFFF)).astype(dst.dtype))
+    df = pd.DataFrame({"src": src, "dst": dst}).drop_duplicates()
+    return df["src"].to_numpy(), df["dst"].to_numpy()
+
+
 def _mix_keys(bh: np.ndarray, bid: np.ndarray) -> np.ndarray:
     """Combined 64-bit bucket key from (band_hash, band_id) int64 arrays."""
     mix = (bh.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
@@ -218,7 +245,8 @@ def bridge_edges(salted: rd.Dataset) -> rd.Dataset:
     def star(g: pd.DataFrame) -> pd.DataFrame:
         mins = np.sort(g["sub_min"].to_numpy())
         if len(mins) < 2:
-            return pd.DataFrame({"src": [], "dst": []}, dtype=str)
+            return pd.DataFrame({"src": [], "dst": []},
+                                dtype=mins.dtype if len(mins) else str)
         return pd.DataFrame({"src": np.full(len(mins) - 1, mins[0]),
                              "dst": mins[1:]})
 
@@ -417,26 +445,27 @@ def candidate_pairs(bands: rd.Dataset, cfg: PipelineConfig | None = None,
                 srcs.append(np.full(n - 1, bucket[0])); dsts.append(bucket[1:])
                 srcs.append(bucket[1:-1]); dsts.append(bucket[2:])
         if not srcs:
-            return pd.DataFrame({"src": [], "dst": []}, dtype=str)
-        out = pd.DataFrame({"src": np.concatenate(srcs),
-                            "dst": np.concatenate(dsts)})
+            return pd.DataFrame({"src": [], "dst": []},
+                                dtype=fids.dtype if len(fids) else str)
         # partition-local dedup (same pair from several bands of this
         # partition); the global dedup runs BEFORE verification — a pair
-        # recurs from ~O(bands) buckets, and deduping the narrow string
+        # recurs from ~O(bands) buckets, and deduping the narrow pair
         # relation is far cheaper than re-verifying each recurrence
         # (see near_dup_clusters / dedup_edges ordering)
-        return out.drop_duplicates()
+        s, d = _unique_pairs(np.concatenate(srcs), np.concatenate(dsts))
+        return pd.DataFrame({"src": s, "dst": d})
 
     def emit_reduce(t: pa.Table) -> pa.Table:
-        # one whole partition (MANY complete buckets) per call; pinned
-        # (src, dst) string schema so every exchange output block unions
-        # cleanly with bridge edges
+        # one whole partition (MANY complete buckets) per call; the
+        # (src, dst) schema is pinned to the band relation's id dtype so
+        # every exchange output block unions cleanly with bridge edges
+        id_t = _id_type_of(t)
         if t.num_rows == 0 or "file_id" not in t.schema.names:
-            return pa.table({"src": pa.array([], pa.string()),
-                             "dst": pa.array([], pa.string())})
+            return pa.table({"src": pa.array([], id_t),
+                             "dst": pa.array([], id_t)})
         df = emit_partition(t.to_pandas())
-        return pa.table({"src": pa.array(df["src"].to_numpy(), pa.string()),
-                         "dst": pa.array(df["dst"].to_numpy(), pa.string())})
+        return pa.table({"src": pa.array(df["src"].to_numpy(), id_t),
+                         "dst": pa.array(df["dst"].to_numpy(), id_t)})
 
     # two-stage hash exchange on the precomputed bucket-key partition id
     # (stages.exchange): Ray's groupby would SORT the whole band relation
@@ -463,12 +492,15 @@ def dedup_edges(edges: rd.Dataset, num_partitions: int = 16) -> rd.Dataset:
         return (h % np.uint64(n_parts)).astype(np.int64)
 
     def drop_dups(t: pa.Table) -> pa.Table:
+        id_t = _id_type_of(t)
         if t.num_rows == 0 or "src" not in t.schema.names:
-            return pa.table({"src": pa.array([], pa.string()),
-                             "dst": pa.array([], pa.string())})
-        df = t.to_pandas().drop_duplicates(subset=["src", "dst"])
-        return pa.table({"src": pa.array(df["src"].to_numpy(), pa.string()),
-                         "dst": pa.array(df["dst"].to_numpy(), pa.string())})
+            return pa.table({"src": pa.array([], id_t),
+                             "dst": pa.array([], id_t)})
+        src = t.column("src").combine_chunks().to_numpy(zero_copy_only=False)
+        dst = t.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
+        s, d = _unique_pairs(src, dst)
+        return pa.table({"src": pa.array(s, id_t),
+                         "dst": pa.array(d, id_t)})
 
     from deduplicate_ray.stages.exchange import exchange
     return exchange(edges.select_columns(["src", "dst"]),
@@ -746,6 +778,57 @@ def _fold16(mat: np.ndarray) -> np.ndarray:
     """xor-fold a uint64 signature matrix to uint16 (see verify_pairs)."""
     return ((mat ^ (mat >> np.uint64(16)) ^ (mat >> np.uint64(32))
              ^ (mat >> np.uint64(48))) & np.uint64(0xFFFF)).astype(np.uint16)
+
+
+def translate_edges(edges: rd.Dataset, file_ids: pa.Array,
+                    cfg: PipelineConfig | None = None) -> rd.Dataset:
+    """Map an int-keyed edge relation back to file-id strings.
+
+    ``file_ids`` is the dense id→file_id array from
+    :func:`deduplicate_ray.stages.minhash.with_int_ids` — translation is
+    one zero-copy Arrow ``take`` per batch against the broadcast array
+    (ids are dense indexes, no hash lookup). Past ``cfg.rep_broadcast_limit``
+    documents the array no longer belongs on every worker; translation
+    falls back to two bucketed hash joins on the id map (fully
+    distributed, same output)."""
+    cfg = cfg or PipelineConfig()
+
+    if len(file_ids) <= cfg.rep_broadcast_limit:
+        from deduplicate_ray.stages.joins import _PROBE_CACHE
+        ref = ray.put(file_ids)
+
+        def tr(t: pa.Table) -> pa.Table:
+            fids = _PROBE_CACHE.get(ref.hex())
+            if fids is None:
+                if len(_PROBE_CACHE) > 8:
+                    _PROBE_CACHE.clear()
+                fids = _PROBE_CACHE.setdefault(ref.hex(), ray.get(ref))
+            cols = {c: t.column(c) for c in t.schema.names}
+            cols["src"] = fids.take(t.column("src").combine_chunks())
+            cols["dst"] = fids.take(t.column("dst").combine_chunks())
+            return pa.table(cols)
+
+        return edges.map_batches(tr, batch_format="pyarrow")
+
+    # distributed fallback: two bucketed hash joins against the id map
+    # (the map itself is built distributed-ready — one narrow relation)
+    from deduplicate_ray.stages.joins import bucket_join
+    ids_arr = pa.array(np.arange(len(file_ids), dtype=np.int64), pa.int64())
+
+    def _swap(ds: rd.Dataset, key: str, fid_col: str) -> rd.Dataset:
+        m = rd.from_arrow(pa.table({key: ids_arr, fid_col: file_ids}))
+        joined = bucket_join(ds, m, on=key, how="left",
+                             num_buckets=cfg.num_partitions)
+
+        def fix(t: pa.Table) -> pa.Table:
+            cols = {c: t.column(c) for c in t.schema.names
+                    if c not in (key, fid_col)}
+            cols[key] = t.column(fid_col)
+            return pa.table(cols)
+
+        return joined.map_batches(fix, batch_format="pyarrow")
+
+    return _swap(_swap(edges, "src", "_src_fid"), "dst", "_dst_fid")
 
 
 def fused_candidate_edges(sigs: rd.Dataset, cfg: PipelineConfig | None = None,

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 from deduplicate_ray.config import PipelineConfig
@@ -229,28 +230,87 @@ def band_hashes(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
     return acc.view(np.int64)
 
 
-def explode_bands(signatures: rd.Dataset, cfg: PipelineConfig | None = None) -> rd.Dataset:
+def with_int_ids(signatures: rd.Dataset) -> tuple[rd.Dataset, pa.Array]:
+    """Attach a dense ``int_id: int64`` (0..n-1 in block order) to a PINNED
+    signature relation.
+
+    Raw per-block tasks (the relation is already materialized, so block
+    order is stable for the run): one metadata pass for per-block row
+    counts, one pass appending ``int_id = offset + arange(n)``. Returns
+    ``(dataset, file_ids)`` where ``file_ids`` is the Arrow string array in
+    id order — ``file_ids[int_id]`` inverts the mapping (used by
+    :func:`deduplicate_ray.stages.lsh.translate_edges`).
+
+    Why: the modular LSH chain (bands → candidate pairs → dedup → verify)
+    moves each document key ~``lsh_bands`` times through the exchange and
+    every emitted pair twice more; carrying an 8-byte int instead of a
+    file-id string cuts that traffic several-fold and converts every
+    downstream hash/compare to int kernels. Ids are RUN-SCOPED (block-order
+    dependent), never checkpointed — on-disk artifacts (bands, edges) keep
+    real file ids.
+    """
+    from deduplicate_ray.stages.exchange import _as_arrow_block
+
+    @ray.remote
+    def add_ids(block, offset: int):
+        t = _as_arrow_block(block)
+        ids = np.arange(offset, offset + t.num_rows, dtype=np.int64)
+        return t.append_column("int_id", pa.array(ids, pa.int64()))
+
+    @ray.remote
+    def fid_meta(block):
+        # the driver needs only (row count, file_id column) per block —
+        # never the signature payload
+        t = _as_arrow_block(block)
+        return t.num_rows, t.column("file_id").combine_chunks() \
+                            .cast(pa.string())
+
+    refs = signatures.to_arrow_refs()
+    if not refs:
+        return signatures, pa.array([], pa.string())
+    metas = ray.get([fid_meta.remote(r) for r in refs])
+    counts = [m[0] for m in metas]
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    out_refs = [add_ids.remote(r, int(o))
+                for r, o in zip(refs, offsets[:-1])]
+    fid_chunks = [m[1] for m in metas if m[0]]
+    file_ids = pa.concat_arrays(fid_chunks) if fid_chunks \
+        else pa.array([], pa.string())
+    return rd.from_arrow_refs(out_refs), file_ids
+
+
+def explode_bands(signatures: rd.Dataset, cfg: PipelineConfig | None = None,
+                  id_col: str = "file_id") -> rd.Dataset:
     """signatures → exploded ``(band_id:int32, band_hash:int64, file_id)``
     relation (the reference's candidate-set role, generalized). This is the
-    Stage-2b shuffle input; rows per doc = lsh_bands."""
+    Stage-2b shuffle input; rows per doc = lsh_bands. ``id_col`` selects
+    which id column rides the relation (``int_id`` for the compact int
+    chain); the output column is always named ``file_id`` and keeps the
+    source column's type."""
     cfg = cfg or PipelineConfig()
     b, r = cfg.lsh_bands, cfg.lsh_rows
 
     def explode(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        id_type = batch.schema.field(id_col).type if n else pa.string()
         if n == 0:
             return pa.Table.from_pydict(
                 {"band_id": pa.array([], pa.int32()),
                  "band_hash": pa.array([], pa.int64()),
-                 "file_id": pa.array([], pa.string())})
+                 "file_id": pa.array([], id_type)})
         sig = np.asarray(batch.column("sig").combine_chunks().flatten()).reshape(n, b * r)
         bh = band_hashes(sig, b, r)
-        fids = batch.column("file_id").to_pylist()
+        ids = batch.column(id_col).combine_chunks()
+        if pa.types.is_string(id_type) or pa.types.is_large_string(id_type):
+            rep = pa.array(np.repeat(ids.to_pylist(), b))
+        else:
+            rep = pa.array(np.repeat(
+                ids.to_numpy(zero_copy_only=False), b), id_type)
         return pa.Table.from_pydict(
             {
                 "band_id": pa.array(np.tile(np.arange(b, dtype=np.int32), n)),
                 "band_hash": pa.array(bh.reshape(-1)),
-                "file_id": pa.array(np.repeat(fids, b)),
+                "file_id": rep,
             }
         )
 
