@@ -258,6 +258,62 @@ def test_verify_prune_refits_broadcast():
     assert full, "fixture must produce verified edges"
 
 
+def test_salting_preserves_connectivity_modular_int_chain():
+    """Same connectivity invariant as test_salting_preserves_connectivity,
+    but with every driver fast path forced OFF (broadcast_limit=0) so the
+    salted buckets, star+chain bridge edges and pair dedup all run through
+    the compact int-id modular chain."""
+    fx = fx_skew_boilerplate(n_repos=120)
+    cfg = PipelineConfig(salt_threshold=16, max_bucket_pairs=8,
+                         verify_threshold=0.5, broadcast_limit=0,
+                         num_partitions=4)
+    clusters = dedup.near_dup_clusters(rd.from_arrow(fx.table()), cfg,
+                                       collapse_exact=False)
+    comp = {r["file_id"]: r["cluster_id"] for r in clusters.take_all()}
+    for grp in fx.exact_groups:
+        labels = {comp.get(f) for f in grp}
+        assert len(labels) == 1 and None not in labels, \
+            f"family split into {len(labels)} clusters"
+
+
+def test_with_int_ids_dense_and_invertible():
+    """with_int_ids assigns a dense 0..n-1 int_id over the pinned relation
+    and returns the file_id array in id order: file_ids[int_id] must invert
+    the mapping exactly, across multiple blocks."""
+    fx = fx_near_dup()
+    cfg = PipelineConfig()
+    hashed = exact.hash_corpus(rd.from_arrow(fx.table()), cfg,
+                               keep_content=True).materialize()
+    sigs = minhash.sign_corpus(hashed, cfg) \
+        .repartition(4).materialize()
+    ids_ds, fid_arr = minhash.with_int_ids(sigs)
+    rows = ids_ds.select_columns(["file_id", "int_id"]).take_all()
+    assert len(fid_arr) == sigs.count() == len(rows)
+    assert sorted(r["int_id"] for r in rows) == list(range(len(rows)))
+    fids = fid_arr.to_pylist()
+    for r in rows:
+        assert fids[r["int_id"]] == r["file_id"]
+
+
+def test_translate_edges_fallback_matches_broadcast():
+    """translate_edges past the rep broadcast budget must fall back to the
+    bucketed-join plan and emit exactly the broadcast plan's rows."""
+    fids = pa.array([f"repo/f{i:03d}.py" for i in range(40)], pa.string())
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([0, 1, 5, 7, 12], pa.int64()),
+        "dst": pa.array([3, 2, 9, 30, 39], pa.int64()),
+        "jaccard_est": pa.array([0.9, 0.8, 0.7, 0.6, 0.55], pa.float64()),
+    }))
+    broad = lsh.translate_edges(
+        edges, fids, PipelineConfig()).take_all()
+    dist = lsh.translate_edges(
+        edges, fids, PipelineConfig(rep_broadcast_limit=0,
+                                    num_partitions=4)).take_all()
+    key = lambda r: (r["src"], r["dst"])
+    assert sorted(broad, key=key) == sorted(dist, key=key)
+    assert broad[0]["src"].startswith("repo/"), "ids must be translated"
+
+
 def test_assign_all_total_assignment():
     """assign_all gives EVERY corpus row a cluster_id: duplicate-family
     members share their cluster, singletons self-label with their own
