@@ -191,3 +191,26 @@ def add_fingerprint(batch: pa.Table, column: str = "text") -> pa.Table:
     fps = [rolling_fingerprint(t or "")
            for t in batch.column(column).to_pylist()]
     return batch.append_column("fingerprint", pa.array(fps, pa.string()))
+
+
+def add_normalized(batch: pa.Table, column: str = "text",
+                   out: str = "norm_text") -> pa.Table:
+    """Append the dedup-normalized form of ``column``: lowercase, every
+    whitespace run collapsed to one space, leading/trailing space trimmed.
+
+    The standard pre-key for normalized exact dedup of training text
+    (catches reformatted copies byte-exact hashing misses). Fully
+    vectorized — three Arrow C++ kernels, no Python over rows. The RE2
+    ``\\s+`` here and DuckDB's ``regexp_replace(..., '\\s+', ' ', 'g')``
+    (also RE2) agree byte-for-byte, which is what the SQL oracle of
+    ``dedup_normalized_docs`` relies on.
+    """
+    import pyarrow.compute as pc
+    col = batch.column(column)
+    norm = pc.utf8_trim(
+        pc.replace_substring_regex(pc.utf8_lower(col), r"\s+",
+                                   replacement=" "),
+        characters=" ")
+    if isinstance(norm, pa.ChunkedArray):
+        norm = norm.combine_chunks()
+    return batch.append_column(out, norm)

@@ -605,9 +605,54 @@ def q_media_frames(sf_dir: str):
     return multimodal.sample_frames(media, n_frames=4, frame_dim=8)
 
 
+# ------------------------------------------------------- curation (docs)
+
+def q_dedup_normalized_docs(sf_dir: str):
+    """Normalized exact dedup: group on the whitespace/case-normalized
+    text (catches reformatted copies byte hashing misses); keeper = min
+    doc_id per group. Vectorized Arrow kernels, then a narrow groupby."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"], split=8)
+    normed = docs.map_batches(textfn.add_normalized, batch_format="pyarrow")
+    return normed.select_columns(["norm_text", "doc_id"]) \
+        .groupby("norm_text").aggregate(
+            Min("doc_id", alias_name="keeper_doc_id"),
+            Count(alias_name="group_size"))
+
+
+def q_sample_docs(sf_dir: str):
+    """Deterministic 12.5% hash sample — reproducible across runs, block
+    layouts and cluster sizes (unlike random_sample), no shuffle."""
+    from deduplicate_ray.stages import sampling
+    docs = _t(sf_dir, "documents", ["doc_id", "lang"], split=8)
+    return sampling.hash_sample(docs, "doc_id", keep_per_mille=125)
+
+
+def q_doc_length_quantiles(sf_dir: str):
+    """Exact per-language length percentiles via the distributed histogram
+    (map-side value_counts combine; the shuffled relation is bounded by
+    distinct lengths, not corpus rows)."""
+    from deduplicate_ray.stages import stats
+    docs = _t(sf_dir, "documents", ["lang", "n_chars"], split=8)
+    return stats.grouped_quantiles(docs, "lang", "n_chars",
+                                   quantiles=(0.5, 0.9, 0.99))
+
+
+def q_source_capped_docs(sf_dir: str):
+    """Per-source cap: at most 10 docs per source, smallest doc_id first —
+    the per-domain cap that stops one source from dominating a corpus.
+    k=10 < the ~25 docs/source in testdata so the cap genuinely drops rows."""
+    from deduplicate_ray.stages import sampling
+    docs = _t(sf_dir, "documents", ["doc_id", "source"], split=8)
+    return sampling.per_key_cap(docs, "source", "doc_id", k=10)
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
+    "dedup_normalized_docs": q_dedup_normalized_docs,
+    "sample_docs": q_sample_docs,
+    "doc_length_quantiles": q_doc_length_quantiles,
+    "source_capped_docs": q_source_capped_docs,
     "exact_dup_groups_docs": q_exact_dup_groups_docs,
     "dedup_keep_first_docs": q_dedup_keep_first_docs,
     "dup_members_docs": q_dup_members_docs,
@@ -646,6 +691,37 @@ QUERIES = {
 # guaranteed value-hash mismatch (root cause of 4 of the 5 round-1
 # hash_match:false rows). Every integer SUM below is CAST back to BIGINT.
 ORACLE_SQL = {
+    # Both sides run RE2 for \s+ (Arrow's replace_substring_regex, DuckDB's
+    # regexp_replace), so the normalized keys agree byte-for-byte.
+    "dedup_normalized_docs": r"""
+        SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')
+                   AS norm_text,
+               MIN(doc_id) AS keeper_doc_id, COUNT(*) AS group_size
+        FROM documents GROUP BY 1
+    """,
+    # The Knuth multiplicative hash step in plain int64 arithmetic; safe
+    # from overflow for ids below ~2^31 on both sides.
+    "sample_docs": """
+        SELECT doc_id, lang FROM documents
+        WHERE (doc_id * 2654435761) % 4294967296 % 1000 < 125
+    """,
+    "doc_length_quantiles": """
+        SELECT lang, COUNT(*) AS n,
+          CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
+              AS BIGINT) AS p50,
+          CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars)
+              AS BIGINT) AS p90,
+          CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars)
+              AS BIGINT) AS p99
+        FROM documents GROUP BY lang
+    """,
+    "source_capped_docs": """
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                       AS rn
+            FROM documents) WHERE rn <= 10
+    """,
     "exact_dup_groups_docs": """
         SELECT md5(substr(text, 1, 40)) AS beg_md5, COUNT(*) AS group_size,
                CAST(SUM(n_chars) AS BIGINT) AS total_chars
