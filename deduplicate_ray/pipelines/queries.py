@@ -591,6 +591,46 @@ def q_events_sessions(sf_dir: str):
     return out.map_batches(to_ts, batch_format="pyarrow")
 
 
+def q_asof_clicks_purchases(sf_dir: str):
+    """Backward as-of join: every click event gets the latest purchase by
+    the same user at-or-before the click (ANSI ASOF LEFT JOIN semantics).
+    One hash exchange on user_id; one vectorized sort+forward-fill kernel
+    per bucket."""
+    from deduplicate_ray.stages import temporal
+    ev = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type",
+                               "value"], split=16)
+    clicks = ev.filter(expr="event_type == 'click'") \
+        .select_columns(["event_id", "user_id", "ts"])
+
+    def to_purchase(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        return pa.table({"user_id": t.column("user_id"),
+                         "ts": t.column("ts"),
+                         "purchase_ts": t.column("ts"),
+                         "purchase_value": t.column("value")})
+
+    purchases = ev.map_batches(to_purchase, batch_format="pyarrow")
+    return temporal.asof_join(clicks, purchases, by="user_id", on="ts",
+                              right_cols=["purchase_ts", "purchase_value"])
+
+
+def q_purchases_last_hour(sf_dir: str):
+    """Sliding-window feature: per click, the count of purchases by the
+    same user in the preceding hour (half-open window (ts-1h, ts]). One
+    merged per-key timeline with probe rows; a single cumsum answers
+    every window exactly."""
+    from deduplicate_ray.stages import temporal
+    ev = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"],
+            split=16)
+    clicks = ev.filter(expr="event_type == 'click'") \
+        .select_columns(["event_id", "user_id", "ts"])
+    purchases = ev.filter(expr="event_type == 'purchase'") \
+        .select_columns(["user_id", "ts"])
+    return temporal.window_count(clicks, purchases, by="user_id", on="ts",
+                                 window=3_600_000_000,
+                                 out_col="purchases_1h")
+
+
 # ---------------------------------------------------------------- multimodal
 
 def q_media_features(sf_dir: str):
@@ -649,6 +689,8 @@ def q_source_capped_docs(sf_dir: str):
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
+    "asof_clicks_purchases": q_asof_clicks_purchases,
+    "purchases_last_hour": q_purchases_last_hour,
     "dedup_normalized_docs": q_dedup_normalized_docs,
     "sample_docs": q_sample_docs,
     "doc_length_quantiles": q_doc_length_quantiles,
@@ -691,6 +733,30 @@ QUERIES = {
 # guaranteed value-hash mismatch (root cause of 4 of the 5 round-1
 # hash_match:false rows). Every integer SUM below is CAST back to BIGINT.
 ORACLE_SQL = {
+    # DuckDB's native ASOF LEFT JOIN has exactly the backward-inclusive
+    # semantics of temporal.asof_join; (user_id, ts) is unique among
+    # purchases so the match is deterministic on both sides.
+    "asof_clicks_purchases": """
+        WITH c AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'click'),
+             p AS (SELECT user_id, ts, ts AS purchase_ts,
+                          value AS purchase_value
+                   FROM events WHERE event_type = 'purchase')
+        SELECT c.event_id, c.user_id, c.ts, p.purchase_ts, p.purchase_value
+        FROM c ASOF LEFT JOIN p
+          ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+    "purchases_last_hour": """
+        SELECT c.event_id, c.user_id, c.ts,
+               CAST(COUNT(p.ts) AS BIGINT) AS purchases_1h
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click') c
+        LEFT JOIN (SELECT user_id, ts FROM events
+                   WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts > c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts
+        GROUP BY c.event_id, c.user_id, c.ts
+    """,
     # Both sides run RE2 for \s+ (Arrow's replace_substring_regex, DuckDB's
     # regexp_replace), so the normalized keys agree byte-for-byte.
     "dedup_normalized_docs": r"""
