@@ -591,6 +591,14 @@ def q_events_sessions(sf_dir: str):
     return out.map_batches(to_ts, batch_format="pyarrow")
 
 
+def q_events_hopping(sf_dir: str):
+    """Hopping windows (1h length, 15m hop): each event replicated into
+    its 4 containing windows with one vectorized np.repeat, then ONE
+    groupby aggregates — no per-window passes."""
+    ev = _t(sf_dir, "events", ["user_id", "ts", "value"], split=16)
+    return windows.hopping_aggregate(ev, window_s=3600, hop_s=900)
+
+
 def q_asof_clicks_purchases(sf_dir: str):
     """Backward as-of join: every click event gets the latest purchase by
     the same user at-or-before the click (ANSI ASOF LEFT JOIN semantics).
@@ -689,6 +697,7 @@ def q_source_capped_docs(sf_dir: str):
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
+    "events_hopping": q_events_hopping,
     "asof_clicks_purchases": q_asof_clicks_purchases,
     "purchases_last_hour": q_purchases_last_hour,
     "dedup_normalized_docs": q_dedup_normalized_docs,
@@ -733,6 +742,21 @@ QUERIES = {
 # guaranteed value-hash mismatch (root cause of 4 of the 5 round-1
 # hash_match:false rows). Every integer SUM below is CAST back to BIGINT.
 ORACLE_SQL = {
+    # An event at t belongs to the 4 hopping windows whose start lies in
+    # (t-1h, t]; the series join replicates each event into exactly those.
+    # make_timestamp takes µs — the same integer-floor arithmetic as the
+    # Ray kernel, so window starts agree bit-exactly.
+    "events_hopping": """
+        SELECT user_id, window_start,
+               COUNT(*) AS n_events, ROUND(SUM(value), 4) AS value_sum
+        FROM (
+          SELECT e.user_id, e.value,
+                 make_timestamp(
+                   ((CAST(floor(epoch(e.ts) / 900) AS BIGINT) - g.i) * 900)
+                   * 1000000) AS window_start
+          FROM events e, generate_series(0, 3) g(i)
+        ) GROUP BY user_id, window_start
+    """,
     # DuckDB's native ASOF LEFT JOIN has exactly the backward-inclusive
     # semantics of temporal.asof_join; (user_id, ts) is unique among
     # purchases so the match is deterministic on both sides.

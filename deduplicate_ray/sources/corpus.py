@@ -78,6 +78,48 @@ def read_loose_files(paths: str | list[str], repo: str = "local",
     return ds.map_batches(to_corpus, batch_format="pyarrow")
 
 
+def read_jsonl_corpus(paths: str | list[str],
+                      text_col: str = "text",
+                      path_col: str | None = None,
+                      repo: str = "jsonl",
+                      commit: str = "snapshot",
+                      lang_col: str | None = None) -> rd.Dataset:
+    """Ingest newline-delimited JSON (the de-facto web-crawl text dump
+    format) into corpus rows. ``ray.data.read_json`` parallelizes at file
+    granularity — shard large dumps into many files upstream (one 100 GB
+    .jsonl is one read task; 1000 shards stream). Missing ``path_col``
+    falls back to ``<file stem>#<row>``-free synthetic ids derived from a
+    content hash, keeping ingest deterministic across block layouts."""
+    ds = rd.read_json(paths)
+
+    def to_corpus(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n = batch.num_rows
+        text = batch.column(text_col).cast(pa.string())
+        if path_col is not None and path_col in batch.schema.names:
+            path = pc.cast(batch.column(path_col), pa.string())
+        else:
+            # deterministic synthetic path: vectorized content hash
+            # (layout-independent; pandas siphash + numpy hex formatting)
+            import numpy as np
+            from deduplicate_ray.stages.joins import stable_hash
+            h = stable_hash(np.asarray(
+                pc.fill_null(text, "").to_pylist(), dtype=object))
+            path = pa.array(np.char.mod("%016x.txt", h), pa.string())
+        lang = (batch.column(lang_col).cast(pa.string())
+                if lang_col and lang_col in batch.schema.names
+                else pa.array([""] * n, pa.string()))
+        return pa.Table.from_pydict(
+            {"repo": pa.array([repo] * n, pa.string()),
+             "path": path,
+             "commit": pa.array([commit] * n, pa.string()),
+             "lang": lang,
+             "content": text},
+            schema=CORPUS_SCHEMA)
+
+    return ds.map_batches(to_corpus, batch_format="pyarrow")
+
+
 def scan_dirs(paths: str | list[str], repo: str = "local") -> rd.Dataset:
     """Directory side table for loose-file mode: one row per directory with
     direct file and subdir counts. This is the missing analog of the

@@ -51,6 +51,54 @@ def tumbling_aggregate(events: rd.Dataset, interval_s: int = 3600,
         batch_format="pyarrow")
 
 
+def hopping_aggregate(events: rd.Dataset, window_s: int = 3600,
+                      hop_s: int = 900, key_col: str = "user_id",
+                      value_col: str = "value") -> rd.Dataset:
+    """Hopping (sliding) windows: length ``window_s``, advancing every
+    ``hop_s`` (must divide the window). An event at time t belongs to the
+    ``window_s/hop_s`` windows whose start lies in ``(t - window, t]`` —
+    the replication is a vectorized ``np.repeat`` inside ``map_batches``
+    (rows × window/hop, still a narrow (key, start, value) relation),
+    then ONE groupby aggregates all windows. Output per (key,
+    window_start): event count and value sum."""
+    if window_s % hop_s:
+        raise ValueError(f"hop_s must divide window_s, got {hop_s}/{window_s}")
+    k = window_s // hop_s
+    hop_us = hop_s * 1_000_000
+    win_us = window_s * 1_000_000
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        key = batch.column(key_col).to_numpy(zero_copy_only=False)
+        val = batch.column(value_col).to_numpy(zero_copy_only=False)
+        n = len(ts)
+        # newest containing window starts at floor(t/hop)*hop; the k-1
+        # earlier hops may fall out of (t - window, t] only when t is
+        # exactly on a hop boundary — the filter below handles it exactly
+        base = (ts // hop_us) * hop_us
+        starts = np.repeat(base, k) - np.tile(
+            np.arange(k, dtype=np.int64) * hop_us, n)
+        rts = np.repeat(ts, k)
+        keep = starts > rts - win_us
+        starts, rts = starts[keep], rts[keep]
+        return pa.table({
+            key_col: pa.array(np.repeat(key, k)[keep]),
+            "window_start": pa.array(starts).cast(pa.timestamp("us")),
+            value_col: pa.array(np.repeat(val, k)[keep])})
+
+    agg = events.select_columns([key_col, "ts", value_col]) \
+        .map_batches(explode, batch_format="pyarrow") \
+        .groupby([key_col, "window_start"]).aggregate(
+            Count(alias_name="n_events"),
+            Sum(value_col, alias_name="value_sum"))
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("value_sum"), "value_sum",
+            pc.round(t.column("value_sum"), ndigits=4)),
+        batch_format="pyarrow")
+
+
 def sessionize(events: rd.Dataset, gap_s: int = 1800,
                key_col: str = "user_id", ts_col: str = "ts") -> rd.Dataset:
     """Session windows: per key, sort by ts and split where the gap exceeds

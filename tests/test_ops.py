@@ -242,6 +242,40 @@ def test_tumbling_aggregate_matches_pandas():
     assert m[(2, "2024-01-01 12:00:00")] == (1, 5.0)
 
 
+def test_hopping_aggregate_matches_duckdb():
+    import duckdb
+    rng = np.random.Generator(np.random.PCG64(5))
+    n = 1500
+    base = np.datetime64("2024-01-01", "us")
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 20, n).astype(np.int64),
+        "ts": (base + rng.integers(0, 30_000_000_000, n)
+               .astype("timedelta64[us]")),
+        "value": np.round(rng.random(n) * 100, 2)})
+    got = windows.hopping_aggregate(
+        rd.from_pandas(df).repartition(4), window_s=3600, hop_s=900
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("events", df)
+    want = con.execute("""
+        SELECT user_id, window_start,
+               COUNT(*) AS n_events, ROUND(SUM(value), 4) AS value_sum
+        FROM (SELECT e.user_id, e.value,
+                     make_timestamp(((CAST(floor(epoch(e.ts)/900) AS BIGINT)
+                                      - g.i) * 900) * 1000000) AS window_start
+              FROM events e, generate_series(0, 3) g(i))
+        GROUP BY user_id, window_start
+    """).df()
+    key = ["user_id", "window_start"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[key + ["n_events", "value_sum"]],
+                                  want[key + ["n_events", "value_sum"]],
+                                  check_dtype=False)
+    # every event lands in exactly window/hop = 4 windows
+    assert got["n_events"].sum() == 4 * n
+
+
 def test_sessionize_gap_splits():
     ts = pd.to_datetime([
         "2024-01-01 10:00", "2024-01-01 10:10", "2024-01-01 12:00",
