@@ -694,9 +694,29 @@ def q_source_capped_docs(sf_dir: str):
     return sampling.per_key_cap(docs, "source", "doc_id", k=10)
 
 
+def q_decontam_docs(sf_dir: str):
+    """Benchmark decontamination: training docs (doc_id % 29 != 0) that
+    share at least one 8-token gram with the held-out eval split
+    (doc_id % 29 == 0), with the count of distinct shared grams. The
+    eval gram set is broadcast once; the training text never shuffles."""
+    from deduplicate_ray.stages import decontam
+    docs = _t(sf_dir, "documents", ["doc_id", "text"], split=8)
+
+    def split(t: pa.Table, keep_eval: bool) -> pa.Table:
+        # arrow has no modulo kernel; numpy on the zero-copy int64 column
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        is_eval = pa.array(ids % 29 == 0)
+        return t.filter(is_eval if keep_eval else pc.invert(is_eval))
+
+    ev = docs.map_batches(lambda t: split(t, True), batch_format="pyarrow")
+    tr = docs.map_batches(lambda t: split(t, False), batch_format="pyarrow")
+    return decontam.contaminated(tr, ev, n=8)
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
+    "decontam_docs": q_decontam_docs,
     "events_hopping": q_events_hopping,
     "asof_clicks_purchases": q_asof_clicks_purchases,
     "purchases_last_hour": q_purchases_last_hour,
@@ -742,6 +762,28 @@ QUERIES = {
 # guaranteed value-hash mismatch (root cause of 4 of the 5 round-1
 # hash_match:false rows). Every integer SUM below is CAST back to BIGINT.
 ORACLE_SQL = {
+    # Tokens = maximal non-whitespace runs (regexp split + empty filter =
+    # Python str.split() on this ASCII corpus); a gram is 8 consecutive
+    # tokens (DuckDB list slice is 1-based inclusive → w[i:i+7]); DISTINCT
+    # per doc matches the kernel's per-doc dedup, so the join count is the
+    # number of distinct shared grams.
+    "decontam_docs": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x <> '') AS w
+          FROM documents),
+        grams AS (
+          SELECT DISTINCT doc_id, array_to_string(w[i : i + 7], ' ') AS gram
+          FROM (SELECT doc_id, w,
+                       unnest(range(1, greatest(len(w) - 6, 1))) AS i
+                FROM toks)),
+        ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 29 = 0)
+        SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+        FROM grams g JOIN ev USING (gram)
+        WHERE g.doc_id % 29 <> 0
+        GROUP BY g.doc_id
+    """,
     # An event at t belongs to the 4 hopping windows whose start lies in
     # (t-1h, t]; the series join replicates each event into exactly those.
     # make_timestamp takes µs — the same integer-floor arithmetic as the
