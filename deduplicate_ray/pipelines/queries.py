@@ -694,6 +694,16 @@ def q_source_capped_docs(sf_dir: str):
     return sampling.per_key_cap(docs, "source", "doc_id", k=10)
 
 
+def q_repo_pairs_docs(sf_dir: str):
+    """Repo-level fork candidates: pairs of sources sharing ≥1 file
+    fingerprint (40-char content prefix), with shared-file count and
+    file-set Jaccard. One fp-keyed hash exchange emits locally-aggregated
+    pair partials; sizes ride the same exchange as the diagonal."""
+    from deduplicate_ray.stages import repos
+    return repos.repo_pair_jaccard(documents_as_corpus(sf_dir),
+                                   min_shared=1)
+
+
 def q_decontam_docs(sf_dir: str):
     """Benchmark decontamination: training docs (doc_id % 29 != 0) that
     share at least one 8-token gram with the held-out eval split
@@ -716,6 +726,7 @@ def q_decontam_docs(sf_dir: str):
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
+    "repo_pairs_docs": q_repo_pairs_docs,
     "decontam_docs": q_decontam_docs,
     "events_hopping": q_events_hopping,
     "asof_clicks_purchases": q_asof_clicks_purchases,
@@ -762,6 +773,30 @@ QUERIES = {
 # guaranteed value-hash mismatch (root cause of 4 of the 5 round-1
 # hash_match:false rows). Every integer SUM below is CAST back to BIGINT.
 ORACLE_SQL = {
+    # File fingerprint = 40-char content prefix (the M3 beg-hash cascade
+    # level); fingerprints in >64 repos are excluded from pair emission
+    # (ubiquitous boilerplate carries no fork signal) but still count in
+    # sizes — BETWEEN 2 AND 64 mirrors repos.max_repos_per_fp. repo_a <
+    # repo_b is binary string order on both sides.
+    "repo_pairs_docs": """
+        WITH fh AS (SELECT DISTINCT source AS repo,
+                           md5(substr(text, 1, 40)) AS fp
+                    FROM documents),
+        eligible AS (SELECT fp FROM fh
+                     GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 64),
+        sizes AS (SELECT repo, COUNT(*) AS n FROM fh GROUP BY repo),
+        pairs AS (
+          SELECT a.repo AS repo_a, b.repo AS repo_b,
+                 CAST(COUNT(*) AS BIGINT) AS shared_files
+          FROM fh a JOIN fh b USING (fp) JOIN eligible e USING (fp)
+          WHERE a.repo < b.repo GROUP BY 1, 2)
+        SELECT p.repo_a, p.repo_b, p.shared_files,
+               ROUND(p.shared_files / (sa.n + sb.n - p.shared_files), 6)
+                 AS jaccard
+        FROM pairs p
+        JOIN sizes sa ON sa.repo = p.repo_a
+        JOIN sizes sb ON sb.repo = p.repo_b
+    """,
     # Tokens = maximal non-whitespace runs (regexp split + empty filter =
     # Python str.split() on this ASCII corpus); a gram is 8 consecutive
     # tokens (DuckDB list slice is 1-based inclusive → w[i:i+7]); DISTINCT
