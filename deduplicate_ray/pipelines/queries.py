@@ -725,7 +725,94 @@ def q_decontam_docs(sf_dir: str):
 
 # ---------------------------------------------------------------- registry
 
+def _words_as_lines(sf_dir: str) -> rd.Dataset:
+    """The driver documents are single-line, space-separated word streams;
+    re-expressing each word as a line (both sides apply the identical
+    ``' ' → '\\n'`` rewrite) gives the line operators a real multi-line
+    corpus with a known hot-line distribution."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"], split=8)
+
+    def f(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("text")
+        return t.set_column(i, "text", pc.replace_substring(
+            t.column("text"), pattern=" ", replacement="\n"))
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def q_hot_lines_docs(sf_dir: str):
+    """Hot-line census (stages/lines.line_counts): lines occurring in
+    ≥300 distinct docs — the boilerplate-detection pass."""
+    from deduplicate_ray.stages import lines
+    return lines.line_counts(_words_as_lines(sf_dir), min_docs=300)
+
+
+def q_strip_boilerplate_docs(sf_dir: str):
+    """Boilerplate strip (stages/lines.strip_hot_lines): remove every
+    line present in ≥390 distinct docs, keep the rest in order."""
+    from deduplicate_ray.stages import lines
+    return lines.strip_hot_lines(_words_as_lines(sf_dir), min_docs=390) \
+        .select_columns(["doc_id", "text"])
+
+
+def q_redact_pii_docs(sf_dir: str):
+    """PII redaction (functions/redact.redact_pii) over docs seeded with
+    deterministic email/IP/ID tokens (both sides build the same seeded
+    text — the testdata itself carries no PII shapes)."""
+    from deduplicate_ray.functions import redact
+    docs = _t(sf_dir, "documents", ["doc_id", "text"], split=8)
+
+    def seed(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column("doc_id"), pa.string())
+        m200 = pc.cast(pc.subtract(
+            t.column("doc_id"),
+            pc.multiply(pc.divide(t.column("doc_id"), 200), 200)),
+            pa.string())
+        m250 = pc.cast(pc.subtract(
+            t.column("doc_id"),
+            pc.multiply(pc.divide(t.column("doc_id"), 250), 250)),
+            pa.string())
+        seeded = pc.binary_join_element_wise(
+            t.column("text"), " contact doc", ids,
+            "@mail.example.com from 10.", m200, ".0.", m250,
+            " ref 90000000", ids, "")
+        i = t.schema.get_field_index("text")
+        return t.set_column(i, "text", seeded)
+
+    return docs.map_batches(seed, batch_format="pyarrow") \
+        .map_batches(redact.redact_pii, batch_format="pyarrow")
+
+
+def q_tfidf_topk_docs(sf_dir: str):
+    """Top-3 TF-IDF terms per doc (stages/tfidf.tfidf_topk): df census →
+    broadcast vocab → map-only score + per-doc top-k."""
+    from deduplicate_ray.stages import tfidf
+    docs = _t(sf_dir, "documents", ["doc_id", "text"], split=8)
+    return tfidf.tfidf_topk(docs, k=3)
+
+
+def q_event_user_counts(sf_dir: str):
+    """Grouped exact COUNT DISTINCT (stages/stats.count_distinct):
+    distinct users per (event_type, day)."""
+    from deduplicate_ray.stages import stats
+    ev = _t(sf_dir, "events", ["event_type", "ts", "user_id"], split=8)
+
+    def add_day(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "day", pc.floor_temporal(t.column("ts"), unit="day"))
+
+    ds = ev.map_batches(add_day, batch_format="pyarrow") \
+        .select_columns(["event_type", "day", "user_id"])
+    return stats.count_distinct(ds, ["event_type", "day"], "user_id",
+                                out_col="n_users")
+
+
 QUERIES = {
+    "hot_lines_docs": q_hot_lines_docs,
+    "strip_boilerplate_docs": q_strip_boilerplate_docs,
+    "redact_pii_docs": q_redact_pii_docs,
+    "tfidf_topk_docs": q_tfidf_topk_docs,
+    "event_user_counts": q_event_user_counts,
     "repo_pairs_docs": q_repo_pairs_docs,
     "decontam_docs": q_decontam_docs,
     "events_hopping": q_events_hopping,
@@ -773,6 +860,93 @@ QUERIES = {
 # guaranteed value-hash mismatch (root cause of 4 of the 5 round-1
 # hash_match:false rows). Every integer SUM below is CAST back to BIGINT.
 ORACLE_SQL = {
+    # Lines = words of the space-separated docs (the identical ' '→'\n'
+    # rewrite happens on the Ray side); identity is the trimmed line,
+    # hotness counts DISTINCT docs, empties never count.
+    "hot_lines_docs": """
+        SELECT line, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+          SELECT DISTINCT doc_id, line FROM (
+            SELECT doc_id,
+                   trim(unnest(string_split(text, ' '))) AS line
+            FROM documents))
+        WHERE line <> ''
+        GROUP BY line HAVING COUNT(*) >= 300
+    """,
+    # Strip every line in ≥390 distinct docs; untrimmed survivors keep
+    # their order, re-joined with \n; empty lines are never stripped; a
+    # fully-boilerplate doc becomes ''.
+    "strip_boilerplate_docs": """
+        WITH ls AS (
+          SELECT doc_id, i, line, trim(line) AS tline FROM (
+            SELECT doc_id, unnest(ws) AS line,
+                   unnest(range(1, len(ws) + 1)) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents))),
+        hot AS (
+          SELECT line FROM (
+            SELECT line, COUNT(*) AS n FROM (
+              SELECT DISTINCT doc_id, tline AS line FROM ls
+              WHERE tline <> '')
+            GROUP BY line) WHERE n >= 390)
+        SELECT d.doc_id, COALESCE(agg.text, '') AS text
+        FROM documents d LEFT JOIN (
+          SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text
+          FROM ls
+          WHERE tline = '' OR tline NOT IN (SELECT line FROM hot)
+          GROUP BY doc_id) agg USING (doc_id)
+    """,
+    # Seeded PII tokens (same construction as the Ray side); counts are
+    # taken on the ORIGINAL seeded text, replacement order is pinned
+    # email → ip → digit-run (both engines run RE2).
+    "redact_pii_docs": r"""
+        WITH seeded AS (
+          SELECT doc_id,
+                 text || ' contact doc' || CAST(doc_id AS VARCHAR)
+                 || '@mail.example.com from 10.'
+                 || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+                 || CAST(doc_id % 250 AS VARCHAR)
+                 || ' ref 90000000' || CAST(doc_id AS VARCHAR) AS text
+          FROM documents)
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                 '\b\d{9,}\b', '<ID>', 'g') AS text,
+               CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                 AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text,
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                 AS BIGINT) AS n_ip,
+               CAST(len(regexp_extract_all(text, '\b\d{9,}\b'))
+                 AS BIGINT) AS n_digits
+        FROM seeded
+    """,
+    # tf = raw in-doc count, df = distinct-doc count, score = tf·ln(N/df)
+    # (both sides call libm log on the same doubles), top-3 per doc by
+    # (score DESC, term ASC) — the tie order makes top-k deterministic.
+    "tfidf_topk_docs": r"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(
+                   regexp_split_to_array(lower(text), '\s+'),
+                   x -> x <> '')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM toks GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+               FROM toks GROUP BY term),
+        n AS (SELECT COUNT(*) AS n FROM documents)
+        SELECT doc_id, term, tf, tf * ln(CAST(n AS DOUBLE) / df) AS score
+        FROM tf JOIN df USING (term), n
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term) <= 3
+    """,
+    "event_user_counts": """
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1, 2
+    """,
     # File fingerprint = 40-char content prefix (the M3 beg-hash cascade
     # level); fingerprints in >64 repos are excluded from pair emission
     # (ubiquitous boilerplate carries no fork signal) but still count in

@@ -27,7 +27,7 @@ import math
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Count, Sum
 
 
 def grouped_quantiles(ds: rd.Dataset, key_col: str, value_col: str,
@@ -85,3 +85,38 @@ def grouped_quantiles(ds: rd.Dataset, key_col: str, value_col: str,
     for q in quantiles:
         cols[f"p{round(q * 100)}"] = pa.array(out_q[q], pa.int64())
     return pa.table(cols)
+
+
+def count_distinct(ds: rd.Dataset, key_cols: list[str], value_col: str,
+                   out_col: str = "n_distinct") -> rd.Dataset:
+    """Exact grouped COUNT(DISTINCT value_col): one row per key tuple,
+    ``(key_cols..., out_col)``.
+
+    Ray Data has no distinct-count aggregate; a naive
+    ``groupby(keys).map_groups(nunique)`` would shuffle every row. Shape
+    here: (1) map-side distinct — each batch reduces to its distinct
+    ``(keys..., value)`` tuples (vectorized ``pyarrow.TableGroupBy``);
+    (2) one ``groupby`` over the pair relation makes the tuples globally
+    distinct; (3) the pair blocks (already key-clustered by the shuffle)
+    pre-count per batch and a final tiny ``groupby`` sums the partials —
+    the second exchange moves at most #groups × #blocks rows, not the
+    distinct-pair relation.
+    """
+    cols = list(key_cols) + [value_col]
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select(cols)
+        return pa.TableGroupBy(t.select(cols), cols) \
+            .aggregate([]).select(cols)
+
+    pairs = ds.map_batches(local_distinct, batch_format="pyarrow") \
+        .groupby(cols).aggregate(Count(alias_name="_dup"))
+
+    def partial_count(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(cols), list(key_cols)) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(list(key_cols) + ["_n"])
+
+    return pairs.map_batches(partial_count, batch_format="pyarrow") \
+        .groupby(list(key_cols)).aggregate(Sum("_n", alias_name=out_col))
