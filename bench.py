@@ -79,7 +79,9 @@ def run_queries(sf_dir: str) -> dict:
     picks = ["pricing_summary", "events_hourly", "knn_cosine",
              "minhash_clusters_docs", "simhash_pairs_docs",
              "token_counts_docs", "top_customers",
-             "asof_clicks_purchases", "doc_length_quantiles"]
+             "asof_clicks_purchases", "doc_length_quantiles",
+             "tfidf_topk_docs", "strip_boilerplate_docs",
+             "event_user_counts"]
     out = {}
     for name in picks:
         t0 = time.perf_counter()

@@ -791,6 +791,97 @@ def q_tfidf_topk_docs(sf_dir: str):
     return tfidf.tfidf_topk(docs, k=3)
 
 
+def q_top_terms_docs(sf_dir: str):
+    """Global top-k aggregate: the 10 highest-document-frequency terms
+    (stages/tfidf.doc_freq census → sort → limit; the census shuffle
+    carries map-side-combined (term, partial) rows only)."""
+    from deduplicate_ray.stages import tfidf
+    docs = _t(sf_dir, "documents", ["doc_id", "text"], split=8)
+    census = tfidf.doc_freq(docs)
+    rows = census.sort(["df", "term"], descending=[True, False]) \
+        .limit(10).take_all()
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("term", pa.string()), ("df", pa.int64())]))
+
+
+def q_customer_order_counts(sf_dir: str):
+    """Left outer join (stages/joins.bucket_join how='left'): every
+    customer with their big-order count, 0 when none — the enrich-join
+    shape (pre-aggregated right side, null→0 fill after the join)."""
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name"], split=4)
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"], split=8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("o_totalprice"), 150000.0))
+        g = pa.TableGroupBy(t.select(["o_custkey"]), ["o_custkey"]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["c_custkey", "n"])
+
+    counts = orders.map_batches(partial, batch_format="pyarrow") \
+        .groupby("c_custkey").aggregate(Sum("n", alias_name="n_orders"))
+
+    joined = joins.bucket_join(cust, counts, on="c_custkey", how="left")
+
+    def fill(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("n_orders")
+        return t.set_column(i, "n_orders", pc.fill_null(
+            t.column("n_orders").cast(pa.int64()), 0))
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+def q_cc_components_docs(sf_dir: str):
+    """Connected components (state/unionfind.connected_components) over a
+    deterministic doc graph, FORCED onto the distributed min-label
+    propagation path (driver_limit=0) so the oracle checks the
+    parquet-pinned iterative rounds, not the driver DSU. Edges: a star
+    within each 40-char-prefix duplicate family (min node → member) plus
+    bridge edges d_k → d_{k+1} for k % 17 == 0 — bridges merge families,
+    so labels must cross multiple hops."""
+    import hashlib
+
+    from deduplicate_ray.state import unionfind
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"], split=8)
+    n_docs = docs.count()
+
+    def fp_rel(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        return pa.table({
+            "fp": pa.array([hashlib.md5((x or "")[:40].encode()).hexdigest()
+                            for x in texts], pa.string()),
+            "node": pa.array([f"d{i:06d}" for i in ids], pa.string())})
+
+    import pandas as pd
+
+    def star(g: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.sort(g["node"].to_numpy())
+        if nodes.size < 2:
+            return pd.DataFrame({"src": pd.Series([], dtype=str),
+                                 "dst": pd.Series([], dtype=str)})
+        return pd.DataFrame({"src": np.repeat(nodes[0], nodes.size - 1),
+                             "dst": nodes[1:]})
+
+    fam_edges = docs.map_batches(fp_rel, batch_format="pyarrow") \
+        .groupby("fp").map_groups(star, batch_format="pandas")
+
+    def bridges(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sel = ids[(ids % 17 == 0) & (ids + 1 < n_docs)]
+        return pa.table({
+            "src": pa.array([f"d{i:06d}" for i in sel], pa.string()),
+            "dst": pa.array([f"d{i + 1:06d}" for i in sel], pa.string())})
+
+    edge_schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
+    edges = fam_edges.union(
+        docs.map_batches(bridges, batch_format="pyarrow")) \
+        .map_batches(lambda t: t.select(["src", "dst"]).cast(edge_schema),
+                     batch_format="pyarrow")
+    return unionfind.connected_components(edges, driver_limit=0,
+                                          num_partitions=4)
+
+
 def q_event_user_counts(sf_dir: str):
     """Grouped exact COUNT DISTINCT (stages/stats.count_distinct):
     distinct users per (event_type, day)."""
@@ -812,6 +903,9 @@ QUERIES = {
     "strip_boilerplate_docs": q_strip_boilerplate_docs,
     "redact_pii_docs": q_redact_pii_docs,
     "tfidf_topk_docs": q_tfidf_topk_docs,
+    "top_terms_docs": q_top_terms_docs,
+    "customer_order_counts": q_customer_order_counts,
+    "cc_components_docs": q_cc_components_docs,
     "event_user_counts": q_event_user_counts,
     "repo_pairs_docs": q_repo_pairs_docs,
     "decontam_docs": q_decontam_docs,
@@ -941,6 +1035,47 @@ ORACLE_SQL = {
         FROM tf JOIN df USING (term), n
         QUALIFY ROW_NUMBER() OVER (
             PARTITION BY doc_id ORDER BY score DESC, term) <= 3
+    """,
+    "top_terms_docs": r"""
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM (SELECT doc_id, unnest(list_filter(
+                  regexp_split_to_array(lower(text), '\s+'),
+                  x -> x <> '')) AS term
+              FROM documents)
+        GROUP BY term ORDER BY df DESC, term LIMIT 10
+    """,
+    "customer_order_counts": """
+        SELECT c.c_custkey, c.c_name,
+               CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders
+        FROM customer c LEFT JOIN (
+            SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+            WHERE o_totalprice > 150000 GROUP BY o_custkey) o
+          ON o.o_custkey = c.c_custkey
+    """,
+    # Exact CC oracle: recursive CTE min-label propagation over the
+    # symmetrized edge set (same deterministic star + bridge construction
+    # as the Ray side); label = min node of the component, nodes = edge
+    # endpoints only.
+    "cc_components_docs": """
+        WITH RECURSIVE
+        d AS (SELECT doc_id,
+                     'd' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS node,
+                     md5(substr(text, 1, 40)) AS fp
+              FROM documents),
+        fmin AS (SELECT fp, MIN(node) AS root FROM d GROUP BY fp),
+        fam AS (SELECT m.root AS src, x.node AS dst
+                FROM d x JOIN fmin m USING (fp) WHERE x.node <> m.root),
+        bridge AS (SELECT a.node AS src, b.node AS dst
+                   FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+                   WHERE a.doc_id % 17 = 0),
+        e AS (SELECT src, dst FROM fam UNION SELECT src, dst FROM bridge),
+        sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        walk(node, lab) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT s.dst, w.lab FROM walk w JOIN sym s ON s.src = w.node)
+        SELECT node, MIN(lab) AS label FROM walk GROUP BY node
     """,
     "event_user_counts": """
         SELECT event_type, date_trunc('day', ts) AS day,
