@@ -791,6 +791,17 @@ def q_tfidf_topk_docs(sf_dir: str):
     return tfidf.tfidf_topk(docs, k=3)
 
 
+def q_approx_distinct_users(sf_dir: str):
+    """KMV distinct sketch (stages/sketch.grouped_approx_distinct) per
+    event_type with k=4096 — every group's true cardinality is below k,
+    so the sketch is provably exact and the oracle can hash-match it
+    (the above-k estimator regime is gated in tests/test_sketch.py)."""
+    from deduplicate_ray.stages import sketch
+    ev = _t(sf_dir, "events", ["event_type", "user_id"], split=8)
+    return sketch.grouped_approx_distinct(ev, ["event_type"], "user_id",
+                                          k=4096, out_col="n_users")
+
+
 def q_top_terms_docs(sf_dir: str):
     """Global top-k aggregate: the 10 highest-document-frequency terms
     (stages/tfidf.doc_freq census → sort → limit; the census shuffle
@@ -903,6 +914,7 @@ QUERIES = {
     "strip_boilerplate_docs": q_strip_boilerplate_docs,
     "redact_pii_docs": q_redact_pii_docs,
     "tfidf_topk_docs": q_tfidf_topk_docs,
+    "approx_distinct_users": q_approx_distinct_users,
     "top_terms_docs": q_top_terms_docs,
     "customer_order_counts": q_customer_order_counts,
     "cc_components_docs": q_cc_components_docs,
@@ -1035,6 +1047,11 @@ ORACLE_SQL = {
         FROM tf JOIN df USING (term), n
         QUALIFY ROW_NUMBER() OVER (
             PARTITION BY doc_id ORDER BY score DESC, term) <= 3
+    """,
+    "approx_distinct_users": """
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users
+        FROM events GROUP BY event_type
     """,
     "top_terms_docs": r"""
         SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df

@@ -1,0 +1,106 @@
+"""KMV (k-minimum-values) distinct-count sketch — the approximate
+COUNT(DISTINCT) for cardinalities where the exact pair shuffle of
+``stats.count_distinct`` is not worth it (e.g. distinct shingles / URLs
+per source over 100 TB).
+
+Published construction (Bar-Yossef et al., "Counting distinct elements
+in a data stream", RANDOM 2002; the KMV estimator form in Beyer et al.,
+SIGMOD 2007): hash every value to a uniform 64-bit integer, keep the k
+smallest distinct hashes; if fewer than k distinct hashes exist the
+count is EXACT (the sketch simply holds them all); otherwise estimate
+``(k - 1) / r_k`` where ``r_k`` is the k-th smallest hash scaled to
+(0, 1]. Relative error concentrates at ~1/sqrt(k) (gated by
+tests/test_sketch.py).
+
+No reference analog (the reference counts groups exactly in SQLite,
+``/root/reference/dupe_analysis.py:393-407``); this is the scale path
+beside the exact ``stats.count_distinct``.
+
+Scale shape: each batch reduces to ≤ k hashes per group (map-side
+combine); the shuffle moves (group, hash) rows bounded by
+#groups × k × #blocks — independent of corpus rows; per-group merge
+keeps the k smallest and reads off the estimate. Sketches are
+MERGEABLE, so the same code path serves streaming checkpoint merges.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from deduplicate_ray.stages import joins
+
+_TWO64 = float(2 ** 64)
+
+
+def _kmv_partial(values: np.ndarray, k: int) -> np.ndarray:
+    """k smallest distinct uint64 hashes of ``values`` (any dtype
+    stable_hash accepts)."""
+    h = joins.stable_hash(values)
+    h = np.unique(h)            # sorted ascending
+    return h[:k]
+
+
+def _estimate(h: np.ndarray, k: int) -> float:
+    """KMV estimate from a merged sorted distinct-hash array."""
+    if h.size < k:
+        return float(h.size)    # sketch is exhaustive → exact
+    # scale the k-th minimum into (0, 1]; +1 keeps it nonzero
+    r_k = (float(h[k - 1]) + 1.0) / _TWO64
+    return (k - 1) / r_k
+
+
+def grouped_approx_distinct(ds: rd.Dataset, key_cols: list[str],
+                            value_col: str, k: int = 1024,
+                            out_col: str = "approx_distinct"
+                            ) -> rd.Dataset:
+    """Per-key-tuple approximate distinct count of ``value_col``:
+    ``(key_cols..., out_col: double)``. Exact whenever a group's true
+    cardinality is below ``k``."""
+    cols = list(key_cols) + [value_col]
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([(c, t.schema.field(c).type) for c in key_cols]
+                             + [("h", pa.uint64())]).empty_table()
+        df = t.select(cols).to_pandas()
+        parts = []
+        for key, g in df.groupby(key_cols, sort=False, dropna=False):
+            hs = _kmv_partial(g[value_col].to_numpy(), k)
+            part = pd.DataFrame({"h": hs})
+            key = key if isinstance(key, tuple) else (key,)
+            for c, v in zip(key_cols, key):
+                part[c] = v
+            parts.append(part[list(key_cols) + ["h"]])
+        out = pd.concat(parts, ignore_index=True)
+        schema = pa.schema([(c, t.schema.field(c).type) for c in key_cols]
+                           + [("h", pa.uint64())])
+        return pa.Table.from_pandas(out, schema=schema, preserve_index=False)
+
+    sketch_rows = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        h = np.unique(g["h"].to_numpy(dtype=np.uint64))[:k]
+        out = g.iloc[:1][list(key_cols)].copy()
+        out[out_col] = _estimate(h, k)
+        return out
+
+    return sketch_rows.groupby(list(key_cols)).map_groups(
+        merge, batch_format="pandas")
+
+
+def approx_distinct(ds: rd.Dataset, value_col: str, k: int = 1024) -> float:
+    """Global approximate distinct count (driver-merged: each block ships
+    ≤ k hashes)."""
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.uint64())})
+        vals = t.column(value_col).to_numpy(zero_copy_only=False)
+        return pa.table({"h": pa.array(_kmv_partial(vals, k), pa.uint64())})
+
+    parts = ds.select_columns([value_col]) \
+        .map_batches(partial, batch_format="pyarrow").take_all()
+    h = np.unique(np.asarray([r["h"] for r in parts], dtype=np.uint64))[:k]
+    return _estimate(h, k)
