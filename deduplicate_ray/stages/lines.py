@@ -78,7 +78,7 @@ def line_counts(ds: rd.Dataset, id_col: str = "doc_id",
         return pa.Table.from_pandas(
             agg, schema=pa.schema([("line", pa.string()),
                                    ("n", pa.int64())]),
-            preserve_index=False)
+            preserve_index=False).replace_schema_metadata(None)
 
     partials = ds.select_columns([id_col, text_col]).map_batches(
         partial, batch_format="pyarrow")

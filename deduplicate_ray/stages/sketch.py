@@ -77,7 +77,9 @@ def grouped_approx_distinct(ds: rd.Dataset, key_cols: list[str],
         out = pd.concat(parts, ignore_index=True)
         schema = pa.schema([(c, t.schema.field(c).type) for c in key_cols]
                            + [("h", pa.uint64())])
-        return pa.Table.from_pandas(out, schema=schema, preserve_index=False)
+        return pa.Table.from_pandas(out, schema=schema,
+                                    preserve_index=False) \
+            .replace_schema_metadata(None)
 
     sketch_rows = ds.map_batches(partial, batch_format="pyarrow")
 
@@ -104,3 +106,73 @@ def approx_distinct(ds: rd.Dataset, value_col: str, k: int = 1024) -> float:
         .map_batches(partial, batch_format="pyarrow").take_all()
     h = np.unique(np.asarray([r["h"] for r in parts], dtype=np.uint64))[:k]
     return _estimate(h, k)
+
+
+def heavy_hitters(ds: rd.Dataset, col: str, k: int = 64) -> pa.Table:
+    """Misra–Gries heavy-hitter summary of ``col``: driver-side Arrow
+    table ``(col, est_count)`` sorted by count desc / value asc, plus an
+    ``err_bound`` column (one global value) such that
+    ``true - err_bound <= est_count <= true``.
+
+    Published construction (Misra & Gries 1982; the mergeable-summaries
+    form of Agarwal et al., PODS 2012): each batch reduces to its exact
+    value counts, then compresses to <= k entries by subtracting the
+    (k+1)-th largest count from all; merging sums matching keys and
+    re-compresses. Any value with true frequency > err_bound survives;
+    with <= k distinct values per batch and <= k overall the summary is
+    EXACT (err_bound 0).
+
+    This is the skew diagnostic behind salting decisions: run it on a
+    prospective shuffle key (band hash, dirpath, repo) to find the hot
+    keys before committing to a partitioning. Each batch ships <= k+1
+    rows; driver state is O(k), independent of corpus size.
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        vtype = t.schema.field(col).type
+        if t.num_rows == 0:
+            return pa.schema([("v", vtype), ("c", pa.int64()),
+                              ("e", pa.int64())]).empty_table()
+        vc = t.select([col]).group_by(col).aggregate([([], "count_all")])
+        vals = vc.column(0)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        cnts = vc.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+        err = np.int64(0)
+        if len(vals) > k:
+            order = np.argsort(cnts)[::-1]
+            err = cnts[order[k]]          # (k+1)-th largest
+            keep = order[:k][cnts[order[:k]] > err]
+            vals = vals.take(pa.array(keep, pa.int64()))
+            cnts = cnts[keep] - err
+        # sentinel row (v null) carries this batch's decrement so the
+        # driver can sum per-summary errors without batch identity
+        vals = pa.concat_arrays([vals, pa.nulls(1, vtype)])
+        cnts = np.concatenate([cnts, [0]])
+        errs = np.zeros(len(cnts), dtype=np.int64)
+        errs[-1] = err
+        return pa.table({"v": vals, "c": pa.array(cnts, pa.int64()),
+                         "e": pa.array(errs, pa.int64())})
+
+    rows = ds.select_columns([col]) \
+        .map_batches(partial, batch_format="pyarrow").take_all()
+    vals = np.asarray([r["v"] for r in rows if r["v"] is not None],
+                      dtype=object)
+    cnts = np.asarray([r["c"] for r in rows if r["v"] is not None],
+                      dtype=np.int64)
+    err_total = int(sum(r["e"] for r in rows if r["v"] is None))
+    if vals.size:
+        ser = pd.Series(cnts).groupby(pd.Series(vals), sort=False).sum()
+        vals = ser.index.to_numpy(dtype=object)
+        cnts = ser.to_numpy(dtype=np.int64)
+    if vals.size > k:
+        order = np.argsort(cnts)[::-1]
+        final_err = int(cnts[order[k]])
+        keep = order[:k][cnts[order[:k]] > final_err]
+        vals, cnts = vals[keep], cnts[keep] - final_err
+        err_total += final_err
+    out = pd.DataFrame({col: vals, "est_count": cnts})
+    out = out.sort_values(["est_count", col],
+                          ascending=[False, True]).reset_index(drop=True)
+    out["err_bound"] = np.int64(err_total)
+    return pa.Table.from_pandas(out, preserve_index=False) \
+        .replace_schema_metadata(None)

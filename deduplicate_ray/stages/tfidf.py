@@ -57,7 +57,13 @@ def _term_explode(t: pa.Table, text_col: str
     vectorized through Arrow's whitespace splitter."""
     text = pc.utf8_lower(
         pc.fill_null(t.column(text_col).cast(pa.string()), ""))
-    toks = pc.utf8_split_whitespace(text)
+    # NOT utf8_split_whitespace: that kernel (Arrow 16.1) returns corrupt
+    # splits on a SLICED input when a prior invocation in the same process
+    # ran on a larger array — trailing whitespace survives in the last
+    # token (reproduced deterministically; block slices from Ray batching
+    # hit it nondeterministically, census vs score passes then disagree).
+    # The RE2 splitter is immune; empties are filtered below either way.
+    toks = pc.split_pattern_regex(text, pattern=r"\s+")
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     flat = pc.list_flatten(toks)
@@ -84,7 +90,7 @@ def doc_freq(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
         return pa.Table.from_pandas(
             agg[["term", "n"]],
             schema=pa.schema([("term", pa.string()), ("n", pa.int64())]),
-            preserve_index=False)
+            preserve_index=False).replace_schema_metadata(None)
 
     return ds.select_columns([text_col]) \
         .map_batches(partial, batch_format="pyarrow") \

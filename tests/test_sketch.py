@@ -47,3 +47,34 @@ def test_grouped_exact_below_k_matches_pandas():
         .sort_values("g").reset_index(drop=True)
     assert list(got["g"]) == list(want["g"])
     assert np.allclose(got["n"].to_numpy(), want["n"].to_numpy(float))
+
+
+def test_heavy_hitters_exact_below_k():
+    rng = np.random.Generator(np.random.PCG64(17))
+    vals = rng.choice([f"u{i}" for i in range(30)], size=8000,
+                      p=np.arange(30, 0, -1) / np.arange(30, 0, -1).sum())
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(7)
+    got = sketch.heavy_hitters(ds, "v", k=64).to_pandas()
+    want = pd.Series(vals).value_counts()
+    assert (got["err_bound"] == 0).all()
+    assert len(got) == 30
+    assert dict(zip(got["v"], got["est_count"])) == want.to_dict()
+
+
+def test_heavy_hitters_bounds_above_k():
+    rng = np.random.Generator(np.random.PCG64(23))
+    # zipf-ish: few heavy keys over a long uniform tail
+    heavy = np.repeat([f"h{i}" for i in range(4)], 3000)
+    tail = np.asarray([f"t{i}" for i in rng.integers(0, 5000, size=8000)])
+    vals = rng.permutation(np.concatenate([heavy, tail]))
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(6)
+    got = sketch.heavy_hitters(ds, "v", k=8).to_pandas()
+    true = pd.Series(vals).value_counts()
+    err = int(got["err_bound"].iloc[0])
+    assert err > 0
+    # every value with true freq > err survives — the 4 heavies qualify
+    surv = set(got["v"])
+    assert {f"h{i}" for i in range(4)} <= surv
+    # and estimates never overcount, never undercount by more than err
+    for v, c in zip(got["v"], got["est_count"]):
+        assert true[v] - err <= c <= true[v]
