@@ -791,6 +791,45 @@ def q_tfidf_topk_docs(sf_dir: str):
     return tfidf.tfidf_topk(docs, k=3)
 
 
+def q_heavy_event_types(sf_dir: str):
+    """Misra–Gries heavy hitters (stages/sketch.heavy_hitters) over the
+    event_type stream at k=512 — distinct count is far below k, so the
+    summary is provably exact (err_bound 0) and the oracle hash-matches
+    plain GROUP BY counts; the compression regime is unit-gated."""
+    from deduplicate_ray.stages import sketch
+    ev = _t(sf_dir, "events", ["event_type"], split=8)
+    return sketch.heavy_hitters(ev, "event_type", k=512)
+
+
+def q_customers_per_nation(sf_dir: str):
+    """Broadcast dimension join: the 25-row nation table rides one
+    ``ray.put`` into a map-only enrich of customer (no shuffle on the
+    fact side), then a small groupby counts per nation name."""
+    import ray as _ray
+    nations = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
+    lut_keys = np.asarray([r["n_nationkey"] for r in nations],
+                          dtype=np.int64)
+    lut_names = np.asarray([r["n_name"] for r in nations], dtype=object)
+    order = np.argsort(lut_keys)
+    ref = _ray.put((lut_keys[order], lut_names[order]))
+
+    cust = _t(sf_dir, "customer", ["c_nationkey"], split=4)
+
+    def enrich(t: pa.Table) -> pa.Table:
+        ks, ns = _ray.get(ref)
+        key = t.column("c_nationkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = np.searchsorted(ks, key)
+        assert (ks[pos] == key).all(), "unknown nation key"
+        g = pa.TableGroupBy(pa.table({"n_name": pa.array(ns[pos],
+                                                         pa.string())}),
+                            ["n_name"]).aggregate([([], "count_all")])
+        return g.rename_columns(["n_name", "n"])
+
+    return cust.map_batches(enrich, batch_format="pyarrow") \
+        .groupby("n_name").aggregate(Sum("n", alias_name="n_customers"))
+
+
 def q_approx_distinct_users(sf_dir: str):
     """KMV distinct sketch (stages/sketch.grouped_approx_distinct) per
     event_type with k=4096 — every group's true cardinality is below k,
@@ -914,6 +953,8 @@ QUERIES = {
     "strip_boilerplate_docs": q_strip_boilerplate_docs,
     "redact_pii_docs": q_redact_pii_docs,
     "tfidf_topk_docs": q_tfidf_topk_docs,
+    "heavy_event_types": q_heavy_event_types,
+    "customers_per_nation": q_customers_per_nation,
     "approx_distinct_users": q_approx_distinct_users,
     "top_terms_docs": q_top_terms_docs,
     "customer_order_counts": q_customer_order_counts,
@@ -1047,6 +1088,16 @@ ORACLE_SQL = {
         FROM tf JOIN df USING (term), n
         QUALIFY ROW_NUMBER() OVER (
             PARTITION BY doc_id ORDER BY score DESC, term) <= 3
+    """,
+    "heavy_event_types": """
+        SELECT event_type, COUNT(*) AS est_count,
+               CAST(0 AS BIGINT) AS err_bound
+        FROM events GROUP BY event_type
+    """,
+    "customers_per_nation": """
+        SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
     """,
     "approx_distinct_users": """
         SELECT event_type,
