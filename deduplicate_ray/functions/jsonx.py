@@ -1,0 +1,54 @@
+"""JSON field extraction from string columns — the event-log enrich
+step (``props`` payloads) a pipeline runs before aggregating.
+
+No reference analog (the reference has no nested data,
+``/root/reference/dupe_analysis.py:58-91`` is flat SQLite columns).
+
+Two paths, same pinned semantics as DuckDB ``json_extract``:
+
+* **regex fast path** (default): for scalar fields in FLAT objects, one
+  RE2 ``extract_regex`` over the whole column — zero Python per row.
+  Correct only when the field value is a JSON number/string without
+  escapes and the key does not appear nested; callers assert that shape
+  with ``assume_flat=True`` (the honest contract — machine-generated
+  event props overwhelmingly satisfy it).
+* **json.loads path** (``assume_flat=False``): per-row stdlib parse —
+  handles nesting, escapes, unicode; the fallback when the shape is not
+  guaranteed. Identical output on flat inputs (pinned by
+  tests/test_jsonx.py on adversarial documents).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def extract_int_field(batch: pa.Table, column: str, field: str,
+                      out: str | None = None,
+                      assume_flat: bool = True) -> pa.Table:
+    """Append int64 column ``out`` (default ``field``) = the JSON number
+    at key ``field`` of ``column``; null when absent/not a number."""
+    out = out or field
+    col = pc.fill_null(batch.column(column).cast(pa.string()), "")
+    if assume_flat:
+        # "<field>" : <int> — RE2-safe; anchored to the quoted key so a
+        # value containing the key text inside a string can only confuse
+        # a NON-flat document (excluded by contract)
+        pat = '"' + field + '"\\s*:\\s*(?P<v>-?[0-9]+)'
+        ext = pc.struct_field(pc.extract_regex(col, pat), "v")
+        vals = pc.cast(ext, pa.int64())
+    else:
+        pys = []
+        for s in col.to_pylist():
+            try:
+                v = json.loads(s).get(field)
+            except (ValueError, AttributeError):
+                v = None
+            pys.append(v if isinstance(v, int) and not isinstance(v, bool)
+                       else None)
+        vals = pa.array(pys, pa.int64())
+    return batch.append_column(out, vals)

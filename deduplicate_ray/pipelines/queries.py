@@ -791,6 +791,25 @@ def q_tfidf_topk_docs(sf_dir: str):
     return tfidf.tfidf_topk(docs, k=3)
 
 
+def q_event_props_stats(sf_dir: str):
+    """JSON field extraction (functions/jsonx.extract_int_field, RE2
+    fast path) over the events ``props`` payload, then a grouped sum —
+    the parse-enrich-aggregate event-log shape."""
+    from deduplicate_ray.functions import jsonx
+    ev = _t(sf_dir, "events", ["event_type", "props"], split=8)
+
+    def parse(t: pa.Table) -> pa.Table:
+        t = jsonx.extract_int_field(t, "props", "k")
+        g = pa.TableGroupBy(t.select(["event_type", "k"]),
+                            ["event_type"]).aggregate(
+            [("k", "sum"), ("k", "count")])
+        return g.rename_columns(["event_type", "s", "n"])
+
+    return ev.map_batches(parse, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(Sum("s", alias_name="k_sum"),
+                                         Sum("n", alias_name="n_events"))
+
+
 def q_heavy_event_types(sf_dir: str):
     """Misra–Gries heavy hitters (stages/sketch.heavy_hitters) over the
     event_type stream at k=512 — distinct count is far below k, so the
@@ -953,6 +972,7 @@ QUERIES = {
     "strip_boilerplate_docs": q_strip_boilerplate_docs,
     "redact_pii_docs": q_redact_pii_docs,
     "tfidf_topk_docs": q_tfidf_topk_docs,
+    "event_props_stats": q_event_props_stats,
     "heavy_event_types": q_heavy_event_types,
     "customers_per_nation": q_customers_per_nation,
     "approx_distinct_users": q_approx_distinct_users,
@@ -1088,6 +1108,14 @@ ORACLE_SQL = {
         FROM tf JOIN df USING (term), n
         QUALIFY ROW_NUMBER() OVER (
             PARTITION BY doc_id ORDER BY score DESC, term) <= 3
+    """,
+    "event_props_stats": """
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+                   AS BIGINT) AS k_sum,
+               CAST(COUNT(json_extract(props, '$.k')) AS BIGINT)
+                   AS n_events
+        FROM events GROUP BY event_type
     """,
     "heavy_event_types": """
         SELECT event_type, COUNT(*) AS est_count,

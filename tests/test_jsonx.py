@@ -1,0 +1,30 @@
+"""JSON extraction: regex fast path == json.loads path on flat docs;
+loads path handles the messy shapes the fast path excludes."""
+
+import pyarrow as pa
+
+from deduplicate_ray.functions import jsonx
+
+FLAT = ['{"k": 69}', '{"k": -3, "m": 1}', '{"m": 2}', '{"k": 0}', '',
+        '{ "k" :  12 }', '{"a": 5, "k": 99}', 'not json', None]
+
+
+def _vals(docs, **kw):
+    t = pa.table({"props": pa.array(docs, pa.string())})
+    return jsonx.extract_int_field(t, "props", "k", **kw).column("k") \
+        .to_pylist()
+
+
+def test_fast_path_matches_loads_on_flat_docs():
+    assert _vals(FLAT, assume_flat=True) == _vals(FLAT, assume_flat=False)
+    assert _vals(FLAT, assume_flat=True) == \
+        [69, -3, None, 0, None, 12, 99, None, None]
+
+
+def test_loads_path_on_nested_and_escaped():
+    messy = ['{"outer": {"k": 1}, "k": 7}',      # top-level k wins
+             '{"s": "\\"k\\": 5", "k": 8}',      # key text inside string
+             '{"k": 2.5}',                        # non-int → null
+             '{"k": true}',                       # bool is not an int
+             '[1, 2, 3]']
+    assert _vals(messy, assume_flat=False) == [7, 8, None, None, None]
