@@ -791,6 +791,15 @@ def q_tfidf_topk_docs(sf_dir: str):
     return tfidf.tfidf_topk(docs, k=3)
 
 
+def q_label_centroids(sf_dir: str):
+    """Grouped vector centroid (stages/vectors.grouped_centroid): mean
+    embedding per label in long format — reduceat partial sums, one
+    narrow (key, dim) exchange."""
+    from deduplicate_ray.stages import vectors
+    emb = _t(sf_dir, "embeddings", ["label", "embedding"], split=8)
+    return vectors.grouped_centroid(emb, "label", "embedding")
+
+
 def q_event_props_stats(sf_dir: str):
     """JSON field extraction (functions/jsonx.extract_int_field, RE2
     fast path) over the events ``props`` payload, then a grouped sum —
@@ -972,6 +981,7 @@ QUERIES = {
     "strip_boilerplate_docs": q_strip_boilerplate_docs,
     "redact_pii_docs": q_redact_pii_docs,
     "tfidf_topk_docs": q_tfidf_topk_docs,
+    "label_centroids": q_label_centroids,
     "event_props_stats": q_event_props_stats,
     "heavy_event_types": q_heavy_event_types,
     "customers_per_nation": q_customers_per_nation,
@@ -1108,6 +1118,16 @@ ORACLE_SQL = {
         FROM tf JOIN df USING (term), n
         QUALIFY ROW_NUMBER() OVER (
             PARTITION BY doc_id ORDER BY score DESC, term) <= 3
+    """,
+    # Long-format per-label mean embedding; both sides round to 6
+    # digits (float sums differ in the last ulps by association order).
+    "label_centroids": """
+        SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+               ROUND(SUM(CAST(v AS DOUBLE)) / COUNT(*), 6) AS centroid
+        FROM (SELECT label, unnest(embedding) AS v,
+                     unnest(range(1, len(embedding) + 1)) AS i
+              FROM embeddings)
+        GROUP BY label, i
     """,
     "event_props_stats": """
         SELECT event_type,
