@@ -40,14 +40,28 @@ def grouped_centroid(ds: rd.Dataset, key_col: str, vec_col: str,
         emb = t.column(vec_col)
         if isinstance(emb, pa.ChunkedArray):
             emb = emb.combine_chunks()
-        lens = pc.list_value_length(emb).to_numpy(zero_copy_only=False)
-        dims = np.unique(lens)
-        if dims.size != 1:
-            raise ValueError(f"ragged {vec_col}: lengths {dims[:5]}")
-        dim = int(dims[0])
-        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False) \
-            .astype(np.float64)
-        mat = flat.reshape(t.num_rows, dim)
+        if pa.types.is_list(emb.type) or pa.types.is_large_list(emb.type) \
+                or pa.types.is_fixed_size_list(emb.type):
+            lens = pc.list_value_length(emb).to_numpy(zero_copy_only=False)
+            dims = np.unique(lens)
+            if dims.size != 1:
+                raise ValueError(f"ragged {vec_col}: lengths {dims[:5]}")
+            dim = int(dims[0])
+            flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            mat = flat.reshape(t.num_rows, dim)
+        else:
+            # Ray tensor extension / object column of per-row ndarrays
+            arr = emb.to_numpy(zero_copy_only=False)
+            try:
+                mat = (np.stack(arr)
+                       if getattr(arr, "dtype", None) == object
+                       else np.asarray(arr)).astype(np.float64)
+            except ValueError as e:
+                raise ValueError(f"ragged {vec_col}: {e}") from e
+            if mat.ndim != 2:
+                raise ValueError(f"ragged {vec_col}: shape {mat.shape}")
+            dim = mat.shape[1]
         order = np.argsort(keys, kind="stable")
         ks, ms = keys[order], mat[order]
         starts = np.flatnonzero(
