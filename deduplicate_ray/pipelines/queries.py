@@ -791,6 +791,60 @@ def q_tfidf_topk_docs(sf_dir: str):
     return tfidf.tfidf_topk(docs, k=3)
 
 
+def q_new_docs_vs_snapshot(sf_dir: str):
+    """Corpus diff: docs whose CONTENT (md5) does not appear in a
+    snapshot subset (doc_id % 7 == 0) — the incremental-ingest
+    subtraction, via the broadcast/bucketed anti-join on content hashes
+    (stages/joins.anti_join, the reference's reviewed-set subtraction
+    D3 generalized to content identity)."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"], split=8) \
+        .map_batches(_add_md5, batch_format="pyarrow")
+
+    def snap(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        mod7 = pc.subtract(ids, pc.multiply(pc.divide(ids, 7), 7))
+        return t.filter(pc.equal(mod7, 0)).select(["text_md5"])
+
+    snapshot = docs.map_batches(snap, batch_format="pyarrow")
+    out = joins.anti_join(docs, snapshot, col="text_md5") \
+        .select_columns(["doc_id", "text_md5"])
+    return out
+
+
+def q_lang_source_rollup(sf_dir: str):
+    """Hierarchical ROLLUP(lang, source) counts: the detail level is one
+    map-side-combined groupby over the corpus; the (lang) and ()
+    subtotal levels fold the REDUCED pair relation driver-side (bounded
+    by #langs × #sources, never a second corpus pass) — the same
+    two-level trick as stages/rollup.py's ancestor explode."""
+    docs = _t(sf_dir, "documents", ["lang", "source"], split=8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["lang", "source"]),
+                            ["lang", "source"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "source", "n"])
+
+    pairs = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["lang", "source"]).aggregate(Sum("n", alias_name="n_docs"))
+
+    schema = pa.schema([("lang", pa.string()), ("source", pa.string()),
+                        ("n_docs", pa.int64())])
+    detail = pa.Table.from_pylist(pairs.take_all(), schema=schema)
+    per_lang = pa.TableGroupBy(detail.select(["lang", "n_docs"]),
+                               ["lang"]).aggregate([("n_docs", "sum")])
+    n_langs = per_lang.num_rows
+    lang_level = pa.table({
+        "lang": per_lang.column("lang"),
+        "source": pa.nulls(n_langs, pa.string()),
+        "n_docs": per_lang.column("n_docs_sum").cast(pa.int64())})
+    total = pa.table({
+        "lang": pa.nulls(1, pa.string()),
+        "source": pa.nulls(1, pa.string()),
+        "n_docs": pa.array([sum(detail.column("n_docs").to_pylist())],
+                           pa.int64())})
+    return pa.concat_tables([detail, lang_level, total])
+
+
 def q_label_centroids(sf_dir: str):
     """Grouped vector centroid (stages/vectors.grouped_centroid): mean
     embedding per label in long format — reduceat partial sums, one
@@ -981,6 +1035,8 @@ QUERIES = {
     "strip_boilerplate_docs": q_strip_boilerplate_docs,
     "redact_pii_docs": q_redact_pii_docs,
     "tfidf_topk_docs": q_tfidf_topk_docs,
+    "new_docs_vs_snapshot": q_new_docs_vs_snapshot,
+    "lang_source_rollup": q_lang_source_rollup,
     "label_centroids": q_label_centroids,
     "event_props_stats": q_event_props_stats,
     "heavy_event_types": q_heavy_event_types,
@@ -1118,6 +1174,15 @@ ORACLE_SQL = {
         FROM tf JOIN df USING (term), n
         QUALIFY ROW_NUMBER() OVER (
             PARTITION BY doc_id ORDER BY score DESC, term) <= 3
+    """,
+    "new_docs_vs_snapshot": """
+        SELECT doc_id, md5(text) AS text_md5 FROM documents
+        WHERE md5(text) NOT IN (
+            SELECT md5(text) FROM documents WHERE doc_id % 7 = 0)
+    """,
+    "lang_source_rollup": """
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY ROLLUP(lang, source)
     """,
     # Long-format per-label mean embedding; both sides round to 6
     # digits (float sums differ in the last ulps by association order).
