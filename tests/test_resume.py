@@ -76,3 +76,40 @@ def test_manifest_carries_partition_lineage(tmp_path):
     # manifest JSON is the durable contract — parseable from disk
     with open(checkpoint.manifest_path(root, "signatures")) as f:
         assert json.load(f)["complete"] is True
+
+
+def test_unionfind_resumes_from_last_complete_round(tmp_path):
+    """Distributed CC checkpoints each label round; deleting the last
+    round (a mid-round kill) and re-running with the same dir resumes
+    and reproduces the fresh-run labels exactly."""
+    import shutil
+
+    import pandas as pd
+    import ray.data as rd
+
+    from deduplicate_ray.state import unionfind
+
+    # chain a0-a1-...-a9 plus a separate pair: 2 components, diameter 9
+    edges = pd.DataFrame({
+        "src": [f"a{i}" for i in range(9)] + ["z0"],
+        "dst": [f"a{i+1}" for i in range(9)] + ["z1"]})
+
+    def run(ckpt):
+        return sorted(
+            (r["node"], r["label"])
+            for r in unionfind.connected_components(
+                rd.from_pandas(edges), driver_limit=0, num_partitions=2,
+                checkpoint_dir=str(ckpt)).take_all())
+
+    d1 = tmp_path / "cc1"
+    fresh = run(d1)
+    assert {lab for _, lab in fresh} == {"a0", "z0"}
+    rounds = sorted(p.name for p in d1.iterdir()
+                    if p.name.startswith("round_") and p.name != "round_init")
+    assert rounds, "expected checkpointed rounds"
+    # kill the last complete round, resume in the same dir
+    shutil.rmtree(d1 / rounds[-1])
+    resumed = run(d1)
+    assert resumed == fresh
+    # and a fresh dir reproduces the same labels (determinism)
+    assert run(tmp_path / "cc2") == fresh
