@@ -120,6 +120,43 @@ def read_jsonl_corpus(paths: str | list[str],
     return ds.map_batches(to_corpus, batch_format="pyarrow")
 
 
+def read_csv_corpus(paths: str | list[str],
+                    text_col: str = "text",
+                    path_col: str | None = None,
+                    repo: str = "csv",
+                    commit: str = "snapshot",
+                    lang_col: str | None = None) -> rd.Dataset:
+    """Ingest CSV exports into corpus rows — same column-mapping contract
+    as :func:`read_jsonl_corpus` (synthetic content-hash path when no
+    ``path_col``). ``ray.data.read_csv`` parallelizes at file granularity;
+    shard big exports upstream."""
+    ds = rd.read_csv(paths)
+
+    def to_corpus(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n = batch.num_rows
+        text = pc.fill_null(batch.column(text_col).cast(pa.string()), "")
+        if path_col is not None and path_col in batch.schema.names:
+            path = pc.cast(batch.column(path_col), pa.string())
+        else:
+            import numpy as np
+            from deduplicate_ray.stages.joins import stable_hash
+            h = stable_hash(np.asarray(text.to_pylist(), dtype=object))
+            path = pa.array(np.char.mod("%016x.txt", h), pa.string())
+        lang = (batch.column(lang_col).cast(pa.string())
+                if lang_col and lang_col in batch.schema.names
+                else pa.array([""] * n, pa.string()))
+        return pa.Table.from_pydict(
+            {"repo": pa.array([repo] * n, pa.string()),
+             "path": path,
+             "commit": pa.array([commit] * n, pa.string()),
+             "lang": lang,
+             "content": text},
+            schema=CORPUS_SCHEMA)
+
+    return ds.map_batches(to_corpus, batch_format="pyarrow")
+
+
 def scan_dirs(paths: str | list[str], repo: str = "local") -> rd.Dataset:
     """Directory side table for loose-file mode: one row per directory with
     direct file and subdir counts. This is the missing analog of the

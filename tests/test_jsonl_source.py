@@ -50,3 +50,31 @@ def test_jsonl_to_exact_dedup_end_to_end(jsonl_dir):
     # 40 docs over 7 distinct bodies: every body is a duplicate group
     assert len(groups) == 7
     assert sum(g["group_size"] for g in groups) == 40
+
+
+def test_read_csv_corpus_roundtrip(tmp_path):
+    import csv
+
+    import ray.data as rd
+
+    from deduplicate_ray.sources.corpus import read_csv_corpus
+    from deduplicate_ray.sources.corpus import validate_schema
+
+    p = tmp_path / "dump.csv"
+    rows = [("r/a.py", "print(1)", "py"),
+            ("r/b.py", "print(2)", "py"),
+            ("r/c.md", "# title", "md")]
+    with open(p, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["path", "text", "lang"])
+        w.writerows(rows)
+    ds = validate_schema(read_csv_corpus(str(p), path_col="path",
+                                         lang_col="lang"))
+    got = sorted((r["path"], r["content"], r["lang"])
+                 for r in ds.take_all())
+    assert got == sorted(rows)
+    # no path_col: synthetic ids are deterministic and distinct
+    ds2 = read_csv_corpus(str(p))
+    paths = [r["path"] for r in ds2.take_all()]
+    assert len(set(paths)) == 3
+    assert paths == [r["path"] for r in read_csv_corpus(str(p)).take_all()]
