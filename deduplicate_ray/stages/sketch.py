@@ -62,24 +62,32 @@ def grouped_approx_distinct(ds: rd.Dataset, key_cols: list[str],
     cols = list(key_cols) + [value_col]
 
     def partial(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.schema([(c, t.schema.field(c).type) for c in key_cols]
-                             + [("h", pa.uint64())]).empty_table()
-        df = t.select(cols).to_pandas()
-        parts = []
-        for key, g in df.groupby(key_cols, sort=False, dropna=False):
-            hs = _kmv_partial(g[value_col].to_numpy(), k)
-            part = pd.DataFrame({"h": hs})
-            key = key if isinstance(key, tuple) else (key,)
-            for c, v in zip(key_cols, key):
-                part[c] = v
-            parts.append(part[list(key_cols) + ["h"]])
-        out = pd.concat(parts, ignore_index=True)
         schema = pa.schema([(c, t.schema.field(c).type) for c in key_cols]
                            + [("h", pa.uint64())])
-        return pa.Table.from_pandas(out, schema=schema,
-                                    preserve_index=False) \
-            .replace_schema_metadata(None)
+        if t.num_rows == 0:
+            return schema.empty_table()
+        df = t.select(cols).to_pandas()
+        # fully vectorized per-key k-min: key codes (pandas ngroup), one
+        # lexsort by (code, hash), distinct-run mask, rank-within-group
+        # < k — no Python loop over keys
+        codes = df.groupby(key_cols, sort=False, dropna=False) \
+            .ngroup().to_numpy()
+        h = joins.stable_hash(df[value_col].to_numpy())
+        order = np.lexsort((h, codes))
+        c_s, h_s = codes[order], h[order]
+        uniq = np.ones(c_s.size, dtype=bool)
+        uniq[1:] = (c_s[1:] != c_s[:-1]) | (h_s[1:] != h_s[:-1])
+        keep_idx = order[uniq]
+        c_u = c_s[uniq]
+        starts = np.flatnonzero(np.r_[True, c_u[1:] != c_u[:-1]])
+        sizes = np.diff(np.r_[starts, c_u.size])
+        rank = np.arange(c_u.size) - np.repeat(starts, sizes)
+        sel = rank < k
+        rows = pa.array(keep_idx[sel], pa.int64())
+        arrays = [t.column(c).take(rows).combine_chunks()
+                  .cast(schema.field(c).type) for c in key_cols]
+        arrays.append(pa.array(h_s[uniq][sel], pa.uint64()))
+        return pa.Table.from_arrays(arrays, schema=schema)
 
     sketch_rows = ds.map_batches(partial, batch_format="pyarrow")
 
