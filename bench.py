@@ -116,7 +116,10 @@ def main() -> None:
         head_noise = round(abs(head2["sec"] - head["sec"]), 3)
         if head2["sec"] < head["sec"]:
             head = head2
-    queries = run_queries(SF_DIR)
+    # --scaling levels measure the headline ratio only: the per-query
+    # bench is irrelevant there and costs minutes at the 2-cpu level
+    queries = {} if os.environ.get("DEDUP_BENCH_ONCE") == "1" \
+        else run_queries(SF_DIR)
     print(json.dumps({
         "metric": "full_dedup_sec",
         "value": round(head["sec"], 3),

@@ -32,15 +32,25 @@ def extract_int_field(batch: pa.Table, column: str, field: str,
                       assume_flat: bool = True) -> pa.Table:
     """Append int64 column ``out`` (default ``field``) = the JSON number
     at key ``field`` of ``column``; null when absent/not a number."""
+    import re as _re
+
     out = out or field
     col = pc.fill_null(batch.column(column).cast(pa.string()), "")
     if assume_flat:
-        # "<field>" : <int> — RE2-safe; anchored to the quoted key so a
-        # value containing the key text inside a string can only confuse
-        # a NON-flat document (excluded by contract)
-        pat = '"' + field + '"\\s*:\\s*(?P<v>-?[0-9]+)'
+        # "<field>" : <number> — RE2-safe; the field name is escaped so
+        # metacharacters can't widen the key match; the FULL JSON number
+        # grammar is captured (no lookahead in RE2), then only integral
+        # captures are kept — '{"k": 2.5}' yields null here exactly like
+        # the loads path, never a truncated 2
+        pat = ('"' + _re.escape(field)
+               + '"\\s*:\\s*(?P<v>-?[0-9]+(?:\\.[0-9]+)?'
+                 '(?:[eE][+-]?[0-9]+)?)')
         ext = pc.struct_field(pc.extract_regex(col, pat), "v")
-        vals = pc.cast(ext, pa.int64())
+        integral = pc.fill_null(
+            pc.match_substring_regex(ext, "^-?[0-9]+$"), False)
+        vals = pc.cast(pc.if_else(integral, ext,
+                                  pa.scalar(None, pa.string())),
+                       pa.int64())
     else:
         pys = []
         for s in col.to_pylist():

@@ -78,60 +78,14 @@ def read_loose_files(paths: str | list[str], repo: str = "local",
     return ds.map_batches(to_corpus, batch_format="pyarrow")
 
 
-def read_jsonl_corpus(paths: str | list[str],
-                      text_col: str = "text",
-                      path_col: str | None = None,
-                      repo: str = "jsonl",
-                      commit: str = "snapshot",
-                      lang_col: str | None = None) -> rd.Dataset:
-    """Ingest newline-delimited JSON (the de-facto web-crawl text dump
-    format) into corpus rows. ``ray.data.read_json`` parallelizes at file
-    granularity — shard large dumps into many files upstream (one 100 GB
-    .jsonl is one read task; 1000 shards stream). Missing ``path_col``
-    falls back to ``<file stem>#<row>``-free synthetic ids derived from a
-    content hash, keeping ingest deterministic across block layouts."""
-    ds = rd.read_json(paths)
-
-    def to_corpus(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        n = batch.num_rows
-        text = batch.column(text_col).cast(pa.string())
-        if path_col is not None and path_col in batch.schema.names:
-            path = pc.cast(batch.column(path_col), pa.string())
-        else:
-            # deterministic synthetic path: vectorized content hash
-            # (layout-independent; pandas siphash + numpy hex formatting)
-            import numpy as np
-            from deduplicate_ray.stages.joins import stable_hash
-            h = stable_hash(np.asarray(
-                pc.fill_null(text, "").to_pylist(), dtype=object))
-            path = pa.array(np.char.mod("%016x.txt", h), pa.string())
-        lang = (batch.column(lang_col).cast(pa.string())
-                if lang_col and lang_col in batch.schema.names
-                else pa.array([""] * n, pa.string()))
-        return pa.Table.from_pydict(
-            {"repo": pa.array([repo] * n, pa.string()),
-             "path": path,
-             "commit": pa.array([commit] * n, pa.string()),
-             "lang": lang,
-             "content": text},
-            schema=CORPUS_SCHEMA)
-
-    return ds.map_batches(to_corpus, batch_format="pyarrow")
-
-
-def read_csv_corpus(paths: str | list[str],
-                    text_col: str = "text",
-                    path_col: str | None = None,
-                    repo: str = "csv",
-                    commit: str = "snapshot",
-                    lang_col: str | None = None) -> rd.Dataset:
-    """Ingest CSV exports into corpus rows — same column-mapping contract
-    as :func:`read_jsonl_corpus` (synthetic content-hash path when no
-    ``path_col``). ``ray.data.read_csv`` parallelizes at file granularity;
-    shard big exports upstream."""
-    ds = rd.read_csv(paths)
-
+def _map_to_corpus(ds: rd.Dataset, text_col: str,
+                   path_col: str | None, repo: str, commit: str,
+                   lang_col: str | None) -> rd.Dataset:
+    """Shared column-mapping for the external-dump readers (JSONL, CSV):
+    null text coerces to '' (the corpus content contract is non-null —
+    empty content hashes like an empty file, reference M2 semantics);
+    a missing ``path_col`` gets a deterministic content-hash synthetic
+    id, layout-independent across block splits."""
     def to_corpus(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         n = batch.num_rows
@@ -155,6 +109,32 @@ def read_csv_corpus(paths: str | list[str],
             schema=CORPUS_SCHEMA)
 
     return ds.map_batches(to_corpus, batch_format="pyarrow")
+
+
+def read_jsonl_corpus(paths: str | list[str],
+                      text_col: str = "text",
+                      path_col: str | None = None,
+                      repo: str = "jsonl",
+                      commit: str = "snapshot",
+                      lang_col: str | None = None) -> rd.Dataset:
+    """Ingest newline-delimited JSON (the de-facto web-crawl text dump
+    format) into corpus rows. ``ray.data.read_json`` parallelizes at file
+    granularity — shard large dumps into many files upstream (one 100 GB
+    .jsonl is one read task; 1000 shards stream)."""
+    return _map_to_corpus(rd.read_json(paths), text_col, path_col,
+                          repo, commit, lang_col)
+
+
+def read_csv_corpus(paths: str | list[str],
+                    text_col: str = "text",
+                    path_col: str | None = None,
+                    repo: str = "csv",
+                    commit: str = "snapshot",
+                    lang_col: str | None = None) -> rd.Dataset:
+    """Ingest CSV exports into corpus rows — same mapping contract as
+    :func:`read_jsonl_corpus` via the shared builder."""
+    return _map_to_corpus(rd.read_csv(paths), text_col, path_col,
+                          repo, commit, lang_col)
 
 
 def scan_dirs(paths: str | list[str], repo: str = "local") -> rd.Dataset:

@@ -28,6 +28,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from deduplicate_ray.stages import joins
@@ -64,12 +65,14 @@ def grouped_approx_distinct(ds: rd.Dataset, key_cols: list[str],
     def partial(t: pa.Table) -> pa.Table:
         schema = pa.schema([(c, t.schema.field(c).type) for c in key_cols]
                            + [("h", pa.uint64())])
+        t = t.select(cols).filter(pc.is_valid(t.column(value_col)))
         if t.num_rows == 0:
             return schema.empty_table()
-        df = t.select(cols).to_pandas()
+        df = t.to_pandas()
         # fully vectorized per-key k-min: key codes (pandas ngroup), one
         # lexsort by (code, hash), distinct-run mask, rank-within-group
-        # < k — no Python loop over keys
+        # < k — no Python loop over keys (NULL values are never counted,
+        # SQL COUNT(DISTINCT) semantics)
         codes = df.groupby(key_cols, sort=False, dropna=False) \
             .ngroup().to_numpy()
         h = joins.stable_hash(df[value_col].to_numpy())
@@ -134,17 +137,30 @@ def heavy_hitters(ds: rd.Dataset, col: str, k: int = 64) -> pa.Table:
     prospective shuffle key (band hash, dirpath, repo) to find the hot
     keys before committing to a partitioning. Each batch ships <= k+1
     rows; driver state is O(k), independent of corpus size.
+
+    NULL is a real key (a hot null — common in dirty corpora — is
+    exactly what a skew probe must surface): null occurrences are
+    counted exactly out-of-band (they ride the sentinel row, never
+    subject to compression) and appear as a null-valued output row.
     """
     def partial(t: pa.Table) -> pa.Table:
         vtype = t.schema.field(col).type
         if t.num_rows == 0:
             return pa.schema([("v", vtype), ("c", pa.int64()),
                               ("e", pa.int64())]).empty_table()
-        vc = t.select([col]).group_by(col).aggregate([([], "count_all")])
-        vals = vc.column(0)
-        if isinstance(vals, pa.ChunkedArray):
-            vals = vals.combine_chunks()
-        cnts = vc.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+        column = t.column(col)
+        n_null = column.null_count
+        valid = t.select([col]).filter(pc.is_valid(column))
+        if valid.num_rows:
+            vc = valid.group_by(col).aggregate([([], "count_all")])
+            vals = vc.column(0)
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            cnts = vc.column(1).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+        else:
+            vals = pa.nulls(0, vtype)
+            cnts = np.zeros(0, dtype=np.int64)
         err = np.int64(0)
         if len(vals) > k:
             order = np.argsort(cnts)[::-1]
@@ -152,10 +168,11 @@ def heavy_hitters(ds: rd.Dataset, col: str, k: int = 64) -> pa.Table:
             keep = order[:k][cnts[order[:k]] > err]
             vals = vals.take(pa.array(keep, pa.int64()))
             cnts = cnts[keep] - err
-        # sentinel row (v null) carries this batch's decrement so the
-        # driver can sum per-summary errors without batch identity
+        # sentinel row (v null): e = this batch's decrement, c = this
+        # batch's NULL-value count — both summed driver-side without
+        # needing batch identity (data rows are never null-valued)
         vals = pa.concat_arrays([vals, pa.nulls(1, vtype)])
-        cnts = np.concatenate([cnts, [0]])
+        cnts = np.concatenate([cnts, [n_null]])
         errs = np.zeros(len(cnts), dtype=np.int64)
         errs[-1] = err
         return pa.table({"v": vals, "c": pa.array(cnts, pa.int64()),
@@ -168,6 +185,7 @@ def heavy_hitters(ds: rd.Dataset, col: str, k: int = 64) -> pa.Table:
     cnts = np.asarray([r["c"] for r in rows if r["v"] is not None],
                       dtype=np.int64)
     err_total = int(sum(r["e"] for r in rows if r["v"] is None))
+    null_total = int(sum(r["c"] for r in rows if r["v"] is None))
     if vals.size:
         ser = pd.Series(cnts).groupby(pd.Series(vals), sort=False).sum()
         vals = ser.index.to_numpy(dtype=object)
@@ -178,9 +196,12 @@ def heavy_hitters(ds: rd.Dataset, col: str, k: int = 64) -> pa.Table:
         keep = order[:k][cnts[order[:k]] > final_err]
         vals, cnts = vals[keep], cnts[keep] - final_err
         err_total += final_err
+    if null_total:        # exact, appended after compression (never cut)
+        vals = np.concatenate([vals, np.asarray([None], dtype=object)])
+        cnts = np.concatenate([cnts, [null_total]])
     out = pd.DataFrame({col: vals, "est_count": cnts})
-    out = out.sort_values(["est_count", col],
-                          ascending=[False, True]).reset_index(drop=True)
+    out = out.sort_values(["est_count", col], ascending=[False, True],
+                          na_position="last").reset_index(drop=True)
     out["err_bound"] = np.int64(err_total)
     return pa.Table.from_pandas(out, preserve_index=False) \
         .replace_schema_metadata(None)

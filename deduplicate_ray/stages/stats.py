@@ -26,6 +26,7 @@ import math
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
@@ -101,14 +102,20 @@ def count_distinct(ds: rd.Dataset, key_cols: list[str], value_col: str,
     pre-count per batch and a final tiny ``groupby`` sums the partials —
     the second exchange moves at most #groups × #blocks rows, not the
     distinct-pair relation.
+
+    NULL ``value_col`` entries are never counted (SQL COUNT(DISTINCT)
+    semantics); a key whose values are ALL null yields no output row
+    (where full SQL GROUP BY over the base table would emit count 0).
     """
     cols = list(key_cols) + [value_col]
 
     def local_distinct(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        # SQL COUNT(DISTINCT v) never counts NULL values
+        t = t.filter(pc.is_valid(t.column(value_col)))
         if t.num_rows == 0:
-            return t.select(cols)
-        return pa.TableGroupBy(t.select(cols), cols) \
-            .aggregate([]).select(cols)
+            return t
+        return pa.TableGroupBy(t, cols).aggregate([]).select(cols)
 
     pairs = ds.map_batches(local_distinct, batch_format="pyarrow") \
         .groupby(cols).aggregate(Count(alias_name="_dup"))

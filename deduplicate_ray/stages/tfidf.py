@@ -160,16 +160,24 @@ def _topk_bucketed(narrow: rd.Dataset, df_rel: rd.Dataset, n_docs: int,
     """Scale fallback past the broadcast budget: join the (doc, term, tf)
     relation against the census through the bucketed hash join, then
     re-group by doc for the top-k (one extra narrow shuffle)."""
+    from deduplicate_ray.stages.joins import _to_arrow_type
+    id_type = _to_arrow_type(dict(zip(narrow.schema().names,
+                                      narrow.schema().types))[id_col])
+
     def tf_rel(t: pa.Table) -> pa.Table:
         doc_idx, terms = _term_explode(t, text_col)
         if doc_idx.size == 0:
-            return pa.schema([(id_col, pa.int64()), ("term", pa.string()),
+            return pa.schema([(id_col, id_type), ("term", pa.string()),
                               ("tf", pa.int64())]).empty_table()
         tf = (pd.DataFrame({"d": doc_idx, "term": terms})
               .groupby(["d", "term"], sort=False).size()
               .reset_index(name="tf"))
         ids = t.column(id_col).take(pa.array(tf["d"].to_numpy(), pa.int64()))
-        return pa.table({id_col: ids.cast(pa.int64()),
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        # the id keeps ITS OWN dtype (string/int32 ids work the same as
+        # the broadcast plan; both plans emit identical schemas)
+        return pa.table({id_col: ids.cast(id_type),
                          "term": pa.array(tf["term"].to_numpy(), pa.string()),
                          "tf": pa.array(tf["tf"].to_numpy(), pa.int64())})
 

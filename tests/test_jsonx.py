@@ -28,3 +28,17 @@ def test_loads_path_on_nested_and_escaped():
              '{"k": true}',                       # bool is not an int
              '[1, 2, 3]']
     assert _vals(messy, assume_flat=False) == [7, 8, None, None, None]
+
+
+def test_fast_path_rejects_floats_and_exponents():
+    docs = ['{"k": 2.5}', '{"k": 1e3}', '{"k": -0.75}', '{"k": 3}']
+    assert _vals(docs, assume_flat=True) == [None, None, None, 3]
+    assert _vals(docs, assume_flat=True) == _vals(docs, assume_flat=False)
+
+
+def test_field_name_metachars_are_escaped():
+    t = pa.table({"props": pa.array(['{"aXb": 7}', '{"a.b": 9}'],
+                                    pa.string())})
+    got = jsonx.extract_int_field(t, "props", "a.b").column("a.b") \
+        .to_pylist()
+    assert got == [None, 9]

@@ -78,3 +78,30 @@ def test_heavy_hitters_bounds_above_k():
     # and estimates never overcount, never undercount by more than err
     for v, c in zip(got["v"], got["est_count"]):
         assert true[v] - err <= c <= true[v]
+
+
+def test_heavy_hitters_counts_null_key_exactly():
+    df = pd.DataFrame({"v": ["a"] * 5 + [None] * 10 + ["b"] * 2})
+    got = sketch.heavy_hitters(
+        rd.from_pandas(df).repartition(3), "v", k=8).to_pandas()
+    by_val = {(v if pd.notna(v) else None): c
+              for v, c in zip(got["v"], got["est_count"])}
+    assert by_val == {"a": 5, None: 10, "b": 2}
+    assert (got["err_bound"] == 0).all()
+
+
+def test_count_distinct_and_kmv_ignore_nulls():
+    import duckdb
+
+    from deduplicate_ray.stages import stats
+    df = pd.DataFrame({"g": ["x", "x", "x", "x", "y"],
+                       "v": [1.0, 2.0, None, None, None]})
+    got = stats.count_distinct(rd.from_pandas(df).repartition(2),
+                               ["g"], "v").to_pandas()
+    # SQL semantics: nulls never counted; all-null group y drops out
+    # (documented divergence from a base-table GROUP BY emitting 0)
+    assert dict(zip(got["g"], got["n_distinct"])) == {"x": 2}
+    approx = sketch.grouped_approx_distinct(
+        rd.from_pandas(df).repartition(2), ["g"], "v", k=64,
+        out_col="n").to_pandas()
+    assert dict(zip(approx["g"], approx["n"])) == {"x": 2.0}

@@ -85,3 +85,13 @@ def test_count_distinct_matches_duckdb():
         SELECT k1, k2, CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct
         FROM t GROUP BY 1, 2 ORDER BY k1, k2""").df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_tfidf_bucketed_path_preserves_string_ids():
+    df = _corpus()
+    df["doc_id"] = "doc-" + df["doc_id"].astype(str)
+    ds = rd.from_pandas(df).repartition(4)
+    fast = _canon(tfidf.tfidf_topk(ds, k=2).to_pandas())
+    slow = _canon(tfidf.tfidf_topk(ds, k=2, broadcast_limit=0).to_pandas())
+    assert fast.doc_id.dtype == slow.doc_id.dtype == object
+    pd.testing.assert_frame_equal(slow, fast, check_dtype=False)
