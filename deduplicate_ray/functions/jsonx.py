@@ -41,8 +41,14 @@ def extract_int_field(batch: pa.Table, column: str, field: str,
         # metacharacters can't widen the key match; the FULL JSON number
         # grammar is captured (no lookahead in RE2), then only integral
         # captures are kept — '{"k": 2.5}' yields null here exactly like
-        # the loads path, never a truncated 2
-        pat = ('"' + _re.escape(field)
+        # the loads path, never a truncated 2. The greedy '(?s).*' prefix
+        # anchors to the LAST occurrence, matching json.loads duplicate-
+        # key (last-wins) semantics and skipping key-shaped substrings in
+        # EARLIER string values. Known exclusion vs the loads path: a
+        # key-shaped substring inside a string value with no real key
+        # after it still matches (e.g. '{"a": "\\"k\\": 9"}' -> 9, loads
+        # -> null); pass assume_flat=False for untrusted nested payloads.
+        pat = ('(?s).*"' + _re.escape(field)
                + '"\\s*:\\s*(?P<v>-?[0-9]+(?:\\.[0-9]+)?'
                  '(?:[eE][+-]?[0-9]+)?)')
         ext = pc.struct_field(pc.extract_regex(col, pat), "v")

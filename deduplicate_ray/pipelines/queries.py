@@ -902,7 +902,9 @@ def q_customers_per_nation(sf_dir: str):
         key = t.column("c_nationkey").to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         pos = np.minimum(np.searchsorted(ks, key), max(ks.size - 1, 0))
-        assert ks.size and (ks[pos] == key).all(), "unknown nation key"
+        # explicit raise (not assert) so the guard survives `python -O`
+        if not (ks.size and (ks[pos] == key).all()):
+            raise ValueError("unknown nation key")
         g = pa.TableGroupBy(pa.table({"n_name": pa.array(ns[pos],
                                                          pa.string())}),
                             ["n_name"]).aggregate([([], "count_all")])
@@ -972,10 +974,22 @@ def q_cc_components_docs(sf_dir: str):
     so labels must cross multiple hops."""
     import hashlib
 
+    import ray as _ray
+
     from deduplicate_ray.state import unionfind
 
     docs = _t(sf_dir, "documents", ["doc_id", "text"], split=8)
-    n_docs = docs.count()
+    # Bridge edges require the TARGET id to exist (the oracle joins on the
+    # actual presence of doc_id+1) — broadcast the sorted id set and
+    # membership-test, instead of assuming a 0-based contiguous id space
+    # (`ids + 1 < count` would drop/keep different bridges on 1-based or
+    # gapped ids). The id vector is 8 bytes/row; fine to broadcast here.
+    id_vec = np.sort(np.concatenate(
+        [b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+         for b in docs.select_columns(["doc_id"])
+         .iter_batches(batch_format="pyarrow")] or
+        [np.array([], np.int64)]))
+    ids_ref = _ray.put(id_vec)
 
     def fp_rel(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_pylist()
@@ -999,8 +1013,14 @@ def q_cc_components_docs(sf_dir: str):
         .groupby("fp").map_groups(star, batch_format="pandas")
 
     def bridges(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        sel = ids[(ids % 17 == 0) & (ids + 1 < n_docs)]
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cand = ids[ids % 17 == 0]
+        all_ids = _ray.get(ids_ref)
+        pos = np.searchsorted(all_ids, cand + 1)
+        exists = (pos < all_ids.size) & \
+            (all_ids[np.minimum(pos, max(all_ids.size - 1, 0))] == cand + 1)
+        sel = cand[exists]
         return pa.table({
             "src": pa.array([f"d{i:06d}" for i in sel], pa.string()),
             "dst": pa.array([f"d{i + 1:06d}" for i in sel], pa.string())})
@@ -1031,6 +1051,9 @@ def q_event_user_counts(sf_dir: str):
 
 
 QUERIES = {
+    # Oracle-bearing queries FIRST: the correctness driver checks the
+    # registry head (r03 covered only the first 50 of 55), so every
+    # query with an ORACLE_SQL entry precedes the rows-only ones.
     "hot_lines_docs": q_hot_lines_docs,
     "strip_boilerplate_docs": q_strip_boilerplate_docs,
     "redact_pii_docs": q_redact_pii_docs,
@@ -1058,23 +1081,17 @@ QUERIES = {
     "exact_dup_groups_docs": q_exact_dup_groups_docs,
     "dedup_keep_first_docs": q_dedup_keep_first_docs,
     "dup_members_docs": q_dup_members_docs,
-    "minhash_clusters_docs": q_minhash_clusters_docs,
-    "simhash_pairs_docs": q_simhash_pairs_docs,
     "ngram_jaccard_pairs_docs": q_ngram_jaccard_pairs_docs,
     "containment_docs": q_containment_docs,
     "cascade_dup_groups_docs": q_cascade_dup_groups_docs,
     "dir_rollup_docs": q_dir_rollup_docs,
-    "keeper_report_docs": q_keeper_report_docs,
     "keeper_scalable_docs": q_keeper_scalable_docs,
     "corpus_total_bytes": q_corpus_total_bytes,
     "zero_size_docs": q_zero_size_docs,
     "token_counts_docs": q_token_counts_docs,
     "lang_stats_docs": q_lang_stats_docs,
     "lang_guess_docs": q_lang_guess_docs,
-    "fingerprint_docs": q_fingerprint_docs,
     "knn_cosine": q_knn_cosine,
-    "knn_cosine_lsh": q_knn_cosine_lsh,
-    "knn_cosine_ivf": q_knn_cosine_ivf,
     "quality_filter_docs": q_quality_filter_docs,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "pricing_summary": q_pricing_summary,
@@ -1084,6 +1101,13 @@ QUERIES = {
     "part_type_stats": q_part_type_stats,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
+    # --- rows-only (no SQL oracle by design; golden-pinned in pytest) ---
+    "minhash_clusters_docs": q_minhash_clusters_docs,
+    "simhash_pairs_docs": q_simhash_pairs_docs,
+    "keeper_report_docs": q_keeper_report_docs,
+    "fingerprint_docs": q_fingerprint_docs,
+    "knn_cosine_lsh": q_knn_cosine_lsh,
+    "knn_cosine_ivf": q_knn_cosine_ivf,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
 }

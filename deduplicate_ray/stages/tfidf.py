@@ -131,9 +131,12 @@ def tfidf_topk(ds: rd.Dataset, id_col: str = "doc_id",
         h = joins.stable_hash(tf["term"].to_numpy()).view(np.int64)
         pos = np.searchsorted(vh, h)
         pos = np.minimum(pos, max(vh.size - 1, 0))
-        # every term is in the census by construction; the assert guards
-        # the hash-lookup (not membership) invariant
-        assert vh.size and (vh[pos] == h).all(), "term missing from census"
+        # every term is in the census by construction; this guards the
+        # hash-lookup (not membership) invariant — explicit raise so the
+        # check survives `python -O` (a silent miss would score the term
+        # with a neighboring entry's idf)
+        if not (vh.size and (vh[pos] == h).all()):
+            raise ValueError("tfidf: term missing from idf census")
         score = tf["tf"].to_numpy(np.float64) * vidf[pos]
         # top-k by (score desc, term asc) within each doc
         srt = np.lexsort((tf["term"].to_numpy(), -score,

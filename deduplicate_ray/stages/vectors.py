@@ -81,9 +81,14 @@ def grouped_centroid(ds: rd.Dataset, key_col: str, vec_col: str,
         Sum("s", alias_name="s"), Sum("n", alias_name="n"))
 
     def finish(t: pa.Table) -> pa.Table:
+        # half_towards_infinity pins the same tie behavior as SQL ROUND
+        # (DuckDB rounds halves away from zero; Arrow's default is
+        # half-to-even) so an exactly-representable tie can't flip the
+        # oracle value-hash.
         c = pc.round(pc.divide(t.column("s"), pc.cast(t.column("n"),
                                                       pa.float64())),
-                     ndigits=ndigits)
+                     ndigits=ndigits,
+                     round_mode="half_towards_infinity")
         return pa.table({key_col: t.column(key_col),
                          "dim": t.column("dim"),
                          "centroid": c})

@@ -94,9 +94,20 @@ def _labels_checksum(labels: rd.Dataset) -> int:
         joined = pd.Series(t.column("node").to_pandas()).str.cat(
             t.column("label").to_pandas(), sep="\x00")
         hs = (stable_hash(joined.to_numpy()) >> np.uint64(1)).astype(np.int64)
-        return pa.table({"h": pa.array(hs, pa.int64())})
+        # one-row XOR partial per batch: XOR is order-independent and
+        # CLOSED under int64, unlike SUM whose partials overflow int64 in
+        # Ray's reduce (observed: Arrow conversion falls back to pickling
+        # Python bigints on every round). Nodes are unique per label table
+        # so no pair can self-cancel.
+        x = int(np.bitwise_xor.reduce(hs)) if hs.size else 0
+        return pa.table({"h": pa.array([x], pa.int64())})
 
-    return labels.map_batches(hash_batch, batch_format="pyarrow").sum("h") or 0
+    parts = labels.map_batches(hash_batch,
+                               batch_format="pyarrow").take_all()
+    acc = np.int64(0)
+    for p in parts:
+        acc ^= np.int64(p["h"])
+    return int(acc)
 
 
 def connected_components(edges: rd.Dataset, *,

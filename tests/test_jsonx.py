@@ -36,6 +36,16 @@ def test_fast_path_rejects_floats_and_exponents():
     assert _vals(docs, assume_flat=True) == _vals(docs, assume_flat=False)
 
 
+def test_fast_path_last_occurrence_matches_loads_dup_keys():
+    # duplicate keys: json.loads keeps the LAST value; the greedy-prefix
+    # fast path anchors to the last occurrence too. A key-shaped substring
+    # in an EARLIER string value is also skipped when a real key follows.
+    docs = ['{"k": 1, "k": 2}', '{"s": "\\"k\\": 5", "k": 8}',
+            '{"k": 4, "k": 2.5}']
+    assert _vals(docs, assume_flat=True) == [2, 8, None]
+    assert _vals(docs, assume_flat=True) == _vals(docs, assume_flat=False)
+
+
 def test_field_name_metachars_are_escaped():
     t = pa.table({"props": pa.array(['{"aXb": 7}', '{"a.b": 9}'],
                                     pa.string())})

@@ -121,6 +121,8 @@ def main() -> None:
             failures.append(n)
     print()
     print("failures:", failures or "none")
+    # non-zero exit on corruption so CI / scripts invoking this fail loud
+    sys.exit(1 if failures else 0)
 
 
 if __name__ == "__main__":
