@@ -70,12 +70,26 @@ class PipelineConfig:
     substring_partition_col: str = "repo"
     #: Skip containment for contents shorter than this (noise floor).
     min_containment_len: int = 32
-    #: A partition group whose total content bytes exceed this is
-    #: hash-sharded into ceil(bytes/cap) shards scanned pairwise, bounding
-    #: one scan task's memory to ~2x the cap (a monorepo-sized group would
-    #: otherwise concatenate whole inside one worker). Individual documents
-    #: larger than the cap must still fit a worker.
+    #: A partition group whose total content bytes exceed this is split
+    #: into length-ordered shards of ~cap bytes, bounding one scan task's
+    #: memory (a monorepo-sized group would otherwise concatenate whole
+    #: inside one worker). Individual documents larger than the cap must
+    #: still fit a worker.
     substring_group_bytes_cap: int = 256 << 20
+    #: Expected byte gap between content-defined anchor windows used to
+    #: route oversized-group queries only to shards holding a candidate
+    #: host (see stages/substring.py). Smaller gap = fewer anchorless
+    #: (fanout-fallback) docs but a bigger narrow anchor relation
+    #: (~16/gap bytes per content byte).
+    substring_anchor_gap: int = 128
+    #: Driver-side budget (rows) for the (query, shard) visit list of the
+    #: anchored routing; past it the stage falls back to the exact
+    #: length-pruned fanout for every query.
+    substring_visits_budget: int = 5_000_000
+    #: An anchor-key group larger than this (pathological shared gram)
+    #: routes its queries to the fanout fallback instead of exploding
+    #: queries x shards candidate pairs.
+    substring_anchor_group_cap: int = 1_000_000
 
     # ---- execution ------------------------------------------------------
     batch_size: int = 1024          # rows per map_batches batch (wide text rows)

@@ -179,24 +179,178 @@ def containment_pairs_in_group(file_ids: list[str], contents: list[str],
                                      min_len)
 
 
+#: fine log-length buckets: bucket(b) = floor(LOG_GRAIN * log2(b)); at
+#: grain 4 lengths inside one bucket differ by < 2^(1/4) ≈ 1.19x, so
+#: length-range shards stay tight even on near-uniform length corpora.
+_LOG_GRAIN = 4
+
+
+def _len_bucket(blen: np.ndarray) -> np.ndarray:
+    """Monotone length→bucket map (int64). Monotonicity is the soundness
+    invariant of the query-side shard pruning below: bucket(h) < bucket(q)
+    must imply len(h) < len(q). np.log2 is monotone on floats and floor
+    preserves it; census and explode use THIS same function on the same
+    integer lengths, so assignments always agree."""
+    b = np.asarray(blen, dtype=np.float64)
+    return np.floor(_LOG_GRAIN * np.log2(np.maximum(b, 1.0))).astype(np.int64)
+
+
+def _build_shard_defs(bucket_rows: list[tuple[int, int]],
+                      cap: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Greedy length-ordered sharding of one oversized group from its
+    (bucket, bytes) histogram: contiguous ascending bucket ranges of
+    ≈``cap`` bytes each; a single bucket heavier than ``cap`` becomes
+    ``ceil(bytes/cap)`` hash sub-shards sharing its length range. Returns
+    (hi_bucket, nsub, off) arrays where ``off[i]`` is the flat scan-id of
+    shard i's first sub-shard."""
+    his: list[int] = []
+    nsubs: list[int] = []
+    cur_hi = None
+    cur_bytes = 0
+    for bucket, b in sorted(bucket_rows):
+        if b > cap:
+            if cur_hi is not None:
+                his.append(cur_hi)
+                nsubs.append(1)
+                cur_hi, cur_bytes = None, 0
+            his.append(bucket)
+            nsubs.append(int(-(-b // cap)))
+        elif cur_hi is None:
+            cur_hi, cur_bytes = bucket, b
+        elif cur_bytes + b > cap:
+            his.append(cur_hi)
+            nsubs.append(1)
+            cur_hi, cur_bytes = bucket, b
+        else:
+            cur_hi, cur_bytes = bucket, cur_bytes + b
+    if cur_hi is not None:
+        his.append(cur_hi)
+        nsubs.append(1)
+    nsub = np.asarray(nsubs, dtype=np.int64)
+    off = np.zeros(len(nsubs), dtype=np.int64)
+    np.cumsum(nsub[:-1], out=off[1:])
+    hi = np.asarray(his, dtype=np.int64)
+    # hi_flat[flat scan-id] = hi bucket of that sub-shard's shard — the
+    # length-prune lookup for candidate (query, sid) pairs
+    hi_flat = np.repeat(hi, nsub)
+    return hi, nsub, off, hi_flat
+
+
+# --------------------------------------------------------------------------
+# content-defined anchors (query routing for oversized groups)
+# --------------------------------------------------------------------------
+# Polynomial rolling hash mod 2^64 with an odd multiplier (so it is
+# invertible mod 2^64 — the prefix trick below needs B^-1), finalized by
+# the public MurmurHash3 fmix64 avalanche. A window is an ANCHOR iff
+# mixed_hash % gap == 0 — a pure function of the window's bytes, so a
+# query embedded verbatim inside a host carries its anchors with it.
+
+_B64 = np.uint64(0x100000001B3)
+_BINV64 = np.uint64(pow(0x100000001B3, -1, 1 << 64))
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """MurmurHash3 fmix64 finalizer, vectorized over uint64."""
+    x = x.copy()
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xC4CEB9FE1A85EC53)
+    x ^= x >> np.uint64(33)
+    return x
+
+
+def _window_hashes(buf: np.ndarray, w: int) -> np.ndarray:
+    """uint64 hash of every w-byte window of ``buf``:
+    H[i] = sum_j buf[i+j] * B^(w-1-j) (mod 2^64). O(n) via prefix sums of
+    buf[t] * B^-t — wraparound uint64 arithmetic throughout."""
+    n = int(buf.size)
+    if n < w:
+        return np.zeros(0, np.uint64)
+    a = buf.astype(np.uint64)
+    bpow = np.empty(n + 1, np.uint64)
+    bpow[0] = 1
+    np.multiply.accumulate(np.full(n, _B64, np.uint64), out=bpow[1:])
+    binvpow = np.empty(n, np.uint64)
+    binvpow[0] = 1
+    if n > 1:
+        np.multiply.accumulate(np.full(n - 1, _BINV64, np.uint64),
+                               out=binvpow[1:])
+    s = np.cumsum(a * binvpow)          # s[i] = sum_{t<=i} a[t] * B^-t
+    pref = np.empty(n + 1, np.uint64)
+    pref[0] = 0
+    pref[1:] = bpow[:n] * s             # pref[i] = hash of buf[:i]
+    return pref[w:] - pref[:-w] * bpow[w]
+
+
+def _batch_anchors(contents: list[str], w: int,
+                   gap: int) -> tuple[np.ndarray, np.ndarray]:
+    """All anchor windows across a batch of docs (computed over ONE
+    concatenated buffer; windows crossing doc boundaries are masked out).
+    Returns (doc_idx, key) — anchors in ascending position order, so the
+    first anchor of doc d is its first occurrence in doc_idx."""
+    enc = [c.encode() for c in contents]
+    lens = np.asarray([len(e) for e in enc], np.int64)
+    buf = np.frombuffer(b"".join(enc), np.uint8)
+    h = _window_hashes(buf, w)
+    if h.size == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    keys = _mix64(h)
+    ends = np.cumsum(lens)
+    pos = np.flatnonzero(keys % np.uint64(gap) == 0)
+    d = np.searchsorted(ends, pos, side="right")
+    valid = pos + w <= ends[d]          # window fully inside its doc
+    pos, d = pos[valid], d[valid]
+    return d, keys[pos]
+
+
+def _first_anchor(contents: list[str], w: int,
+                  gap: int) -> tuple[np.ndarray, np.ndarray]:
+    """(has_anchor bool mask, first anchor key per doc) — key undefined
+    where the mask is False."""
+    d, keys = _batch_anchors(contents, w, gap)
+    n = len(contents)
+    has = np.zeros(n, dtype=bool)
+    first = np.zeros(n, np.uint64)
+    if d.size:
+        uniq, idx = np.unique(d, return_index=True)
+        has[uniq] = True
+        first[uniq] = keys[idx]
+    return has, first
+
+
 def containment_edges(corpus_with_ids: rd.Dataset,
                       cfg: PipelineConfig | None = None,
-                      partition_col: str | None = None) -> rd.Dataset:
+                      partition_col: str | None = None,
+                      _return_exploded: bool = False) -> rd.Dataset:
     """corpus rows (``file_id``, ``content``, partition col) →
     ``(src, dst)`` edge relation (src = embedded inner file, dst = host).
 
-    Group-size bound: a partition group whose total content exceeds
-    ``cfg.substring_group_bytes_cap`` is hash-sharded into
-    ``k = ceil(bytes / cap)`` shards, and every ordered shard pair (i, j)
-    becomes its own scan task — queries from shard i against a suffix
-    array over shard j's docs — so one task never holds more than ~2x the
-    cap regardless of group size (a monorepo-sized group previously
-    concatenated whole in one worker). Detection stays exact: pair
-    (a ⊂ b) surfaces in exactly task (shard(a), shard(b)). Cost of the
-    fallback is 2k copies of each oversized-group row and k² tasks —
-    quadratic in group size, the honest price of exact containment
-    without a distributed suffix structure. Per-DOC bound unchanged: one
-    document larger than the cap must still fit a worker."""
+    Group-size bound — LENGTH-AWARE sharding: a partition group whose
+    total content exceeds ``cfg.substring_group_bytes_cap`` is split into
+    length-ordered shards of ≈cap bytes (from a narrow byte-weighted
+    log-length histogram; an overweight single length bucket hash-splits
+    into sub-shards sharing its range). Containment is length-monotone —
+    a query can only be embedded in a strictly LONGER host — so each doc
+    is shipped as a HOST exactly once (its own length shard) and as a
+    QUERY only to shards whose length range reaches above its own bucket;
+    docs shorter than ``min_containment_len`` ship nowhere. Total shuffle
+    volume is O(bytes + query_bytes x higher_shards) instead of the
+    previous every-shard-pair explosion's O(bytes^2/cap): on a corpus
+    whose bytes are dominated by its longer documents (source code is)
+    the exploded relation is a small constant times the input. Detection
+    stays exact: pair (a ⊂ b) needs bucket(a) <= bucket(b) <= hi(shard(b))
+    so a's query copies always include b's host shard, and the strictly-
+    longer byte compare inside the scan task rejects everything pruning
+    let through. Per-task memory is bounded by ~cap of host bytes plus
+    the visiting query docs. Per-DOC bound unchanged: one document larger
+    than the cap must still fit a worker.
+
+    When the corpus carries a ``size`` column it is used as the length
+    measure without touching ``content`` — it MUST equal the UTF-8 byte
+    length of ``content`` (true for ``hashing.add_hashes`` output, which
+    computes it via ``binary_length``); a divergent size column would
+    break the pruning monotonicity above."""
     cfg = cfg or PipelineConfig()
     pcol = partition_col or cfg.substring_partition_col
     min_len = cfg.min_containment_len
@@ -206,62 +360,294 @@ def containment_edges(corpus_with_ids: rd.Dataset,
     cols = ["file_id", "content", pcol] + (["size"] if have_size else [])
     src = corpus_with_ids.select_columns(cols)
 
-    # narrow per-group byte census (the hash pass's `size` column when
-    # present — no content touch); only OVERSIZED groups reach the driver
+    # narrow per-group byte-weighted length histogram (the hash pass's
+    # `size` column when present — no content touch); map-side combined,
+    # so the shuffle and the driver see <= groups x 64ish rows
     from ray.data.aggregate import Sum as _Sum
 
-    def group_bytes(t: pa.Table) -> pa.Table:
-        b = t.column("size") if "size" in t.schema.names \
-            else pc.binary_length(t.column("content"))
-        return pa.table({pcol: t.column(pcol), "b": b})
+    def length_hist(t: pa.Table) -> pa.Table:
+        b = (t.column("size") if "size" in t.schema.names
+             else pc.binary_length(t.column("content"))) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({pcol: t.column(pcol).to_pandas(),
+                           "bucket": _len_bucket(b), "b": b})
+        g = df.groupby([pcol, "bucket"], sort=False, dropna=False)["b"] \
+            .sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     census_src = corpus_with_ids.select_columns(
         [pcol, "size"] if have_size else [pcol, "content"])
-    oversized_rows = census_src \
-        .map_batches(group_bytes, batch_format="pyarrow") \
-        .groupby(pcol).aggregate(_Sum("b", alias_name="b")) \
-        .filter(expr=f"b > {int(cap)}").take_all()
-    shard_counts = {r[pcol]: int(-(-r["b"] // cap)) for r in oversized_rows}
+    hist_rows = census_src \
+        .map_batches(length_hist, batch_format="pyarrow") \
+        .groupby([pcol, "bucket"]).aggregate(_Sum("b", alias_name="b")) \
+        .take_all()
+    totals: dict = {}
+    for r in hist_rows:
+        totals[r[pcol]] = totals.get(r[pcol], 0) + int(r["b"])
+    shard_defs = {}
+    for g, tot in totals.items():
+        if tot > cap:
+            rows = [(int(r["bucket"]), int(r["b"])) for r in hist_rows
+                    if r[pcol] == g]
+            shard_defs[g] = _build_shard_defs(rows, cap)
 
     import ray as _ray
-    counts_ref = _ray.put(shard_counts)
+    defs_ref = _ray.put(shard_defs)
+
+    # ---- anchored query routing (oversized groups only) ------------------
+    # The length-pruned fanout ships each query to EVERY sub-shard that
+    # could hold a longer host — O(query_bytes x k) on length-uniform
+    # corpora. Content-defined anchors cut that to candidate-driven
+    # volume: hosts publish (anchor key, sid) for every anchor window of
+    # their content (a NARROW relation, ~16/gap bytes per content byte);
+    # each query publishes its FIRST anchor key; a groupby on the key
+    # yields the (query, sid) visit list, and the query ships only there.
+    # Exactness: a query embedded in a host at offset o has its anchor
+    # window verbatim at o+p in the host (anchor-ness is a pure function
+    # of the window bytes), so the host's sid is always in the visit
+    # list; hash collisions only ADD visits, and the suffix-array scan
+    # byte-verifies everything. Anchorless queries (short or unlucky
+    # content — P(no anchor) ~ e^(-len/gap)) fall back to the exact
+    # length-pruned fanout, as does everything if the visit list blows
+    # the driver budget or an anchor-key group blows the group cap.
+    gap = cfg.substring_anchor_gap
+    group_cap = cfg.substring_anchor_group_cap
+    visits_ref = None
+    if shard_defs:
+        from deduplicate_ray.stages.joins import stable_hash as _shash
+
+        def host_anchor_rel(t: pa.Table) -> pa.Table:
+            defs = _ray.get(defs_ref)
+            blen = (t.column("size") if "size" in t.schema.names
+                    else pc.binary_length(t.column("content"))) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            gv = np.asarray(t.column(pcol).to_pylist(), dtype=object)
+            m = np.asarray([g in defs for g in gv], dtype=bool) \
+                & (blen > min_len)
+            rows = np.flatnonzero(m)
+            out_p, out_h, out_s = [], [], []
+            if rows.size:
+                fid = np.asarray(t.column("file_id").to_pylist(),
+                                 dtype=object)[rows]
+                contents = [t.column("content")[int(i)].as_py() or ""
+                            for i in rows]
+                bk = _len_bucket(blen[rows])
+                sid = np.empty(rows.size, np.int64)
+                for g in set(gv[rows].tolist()):
+                    gm = gv[rows] == g
+                    hi, nsub, off, _ = defs[g]
+                    st = np.searchsorted(hi, bk[gm])
+                    sub = (_shash(fid[gm]) % nsub[st].astype(np.uint64)) \
+                        .astype(np.int64)
+                    sid[gm] = off[st] + sub
+                d, keys = _batch_anchors(contents, min_len, gap)
+                if d.size:
+                    df = pd.DataFrame({
+                        "p": gv[rows][d], "h": keys.view(np.int64),
+                        "s": sid[d]}).drop_duplicates()
+                    out_p = df["p"].tolist()
+                    out_h = df["h"].to_numpy()
+                    out_s = df["s"].to_numpy()
+            return pa.table({
+                pcol: pa.array(out_p, t.schema.field(pcol).type),
+                "h": pa.array(np.asarray(out_h, np.int64), pa.int64()),
+                "sid": pa.array(np.asarray(out_s, np.int64), pa.int64()),
+                "file_id": pa.array([""] * len(out_p), pa.string()),
+                "bucket": pa.array(np.full(len(out_p), -1, np.int64),
+                                   pa.int64()),
+                "kind": pa.array(["H"] * len(out_p), pa.string())})
+
+        def query_anchor_rel(t: pa.Table) -> pa.Table:
+            defs = _ray.get(defs_ref)
+            blen = (t.column("size") if "size" in t.schema.names
+                    else pc.binary_length(t.column("content"))) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            gv = np.asarray(t.column(pcol).to_pylist(), dtype=object)
+            m = np.asarray([g in defs for g in gv], dtype=bool) \
+                & (blen >= min_len)
+            rows = np.flatnonzero(m)
+            out = {k: [] for k in ("p", "h", "f", "b")}
+            if rows.size:
+                contents = [t.column("content")[int(i)].as_py() or ""
+                            for i in rows]
+                has, first = _first_anchor(contents, min_len, gap)
+                sel = np.flatnonzero(has)
+                if sel.size:
+                    fid = np.asarray(t.column("file_id").to_pylist(),
+                                     dtype=object)[rows]
+                    bk = _len_bucket(blen[rows])
+                    out["p"] = gv[rows][sel].tolist()
+                    out["h"] = first[sel].view(np.int64)
+                    out["f"] = fid[sel].tolist()
+                    out["b"] = bk[sel]
+            n = len(out["p"])
+            return pa.table({
+                pcol: pa.array(out["p"], t.schema.field(pcol).type),
+                "h": pa.array(np.asarray(out["h"], np.int64), pa.int64()),
+                "sid": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "file_id": pa.array(out["f"], pa.string()),
+                "bucket": pa.array(np.asarray(out["b"], np.int64),
+                                   pa.int64()),
+                "kind": pa.array(["Q"] * n, pa.string())})
+
+        def pair_fn(t: pa.Table) -> pa.Table:
+            kind = np.asarray(t.column("kind").to_pylist())
+            qm = kind == "Q"
+            qf = np.asarray(t.column("file_id").to_pylist(),
+                            dtype=object)[qm]
+            if qf.size == 0:
+                return pa.table({"file_id": pa.array([], pa.string()),
+                                 "sid": pa.array([], pa.int64())})
+            if t.num_rows > group_cap:  # pathological shared gram
+                uq = np.unique(qf)
+                return pa.table({
+                    "file_id": pa.array(uq, pa.string()),
+                    "sid": pa.array(np.full(uq.size, -1, np.int64),
+                                    pa.int64())})
+            sids = np.unique(
+                t.column("sid").to_numpy(zero_copy_only=False)[~qm])
+            if sids.size == 0:
+                return pa.table({"file_id": pa.array([], pa.string()),
+                                 "sid": pa.array([], pa.int64())})
+            g = t.column(pcol)[0].as_py()
+            hi_flat = _ray.get(defs_ref)[g][3]
+            hs = hi_flat[sids]          # non-decreasing in sid
+            qb = t.column("bucket").to_numpy(zero_copy_only=False)[qm]
+            start = np.searchsorted(hs, qb)
+            reps = sids.size - start
+            tot = int(reps.sum())
+            if tot == 0:
+                return pa.table({"file_id": pa.array([], pa.string()),
+                                 "sid": pa.array([], pa.int64())})
+            rowrep = np.repeat(np.arange(qf.size), reps)
+            cum0 = np.zeros(qf.size, dtype=np.int64)
+            np.cumsum(reps[:-1], out=cum0[1:])
+            within = np.arange(tot, dtype=np.int64) - np.repeat(cum0, reps)
+            return pa.table({
+                "file_id": pa.array(qf[rowrep], pa.string()),
+                "sid": pa.array(sids[within + np.repeat(start, reps)],
+                                pa.int64())})
+
+        pair_rel = src.map_batches(host_anchor_rel, batch_format="pyarrow") \
+            .union(src.map_batches(query_anchor_rel,
+                                   batch_format="pyarrow")) \
+            .groupby([pcol, "h"]).map_groups(pair_fn,
+                                             batch_format="pyarrow")
+        budget = cfg.substring_visits_budget
+        taken = pair_rel.take(budget + 1)
+        if len(taken) <= budget:
+            vmap: dict = {}
+            for r in taken:
+                f, s = r["file_id"], int(r["sid"])
+                if s < 0:
+                    vmap[f] = None
+                elif vmap.get(f, ()) is not None:
+                    vmap.setdefault(f, []).append(s)
+            visits_ref = _ray.put({
+                f: (None if v is None
+                    else np.unique(np.asarray(v, np.int64)))
+                for f, v in vmap.items()})
 
     def explode_shards(t: pa.Table) -> pa.Table:
-        counts = _ray.get(counts_ref)
-        gvals = t.column(pcol).to_pylist()
-        if not counts or not any(g in counts for g in gvals):
-            # fast path (every group under the cap): one scan task per
-            # group, single copy, role 'b' (both sides)
-            key = pc.binary_join_element_wise(
-                pc.cast(t.column(pcol), pa.string()), "#0_0", "\x01")
+        defs = _ray.get(defs_ref)
+        blen = (t.column("size") if "size" in t.schema.names
+                else pc.binary_length(t.column("content"))) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        # sub-min_len docs can be neither query (scan skips them) nor
+        # host (a host must be strictly longer than a >=min_len query,
+        # i.e. > min_len) — drop them before they ship anywhere
+        keep = blen >= min_len
+        if not keep.all():
+            t = t.filter(pa.array(keep))
+            blen = blen[keep]
+        if t.num_rows == 0:
             return pa.table({
-                "file_id": t.column("file_id"),
-                "content": t.column("content"),
-                "_scan_key": key.combine_chunks()
-                if isinstance(key, pa.ChunkedArray) else key,
-                "role": pa.array(["b"] * t.num_rows, pa.string())})
-        from deduplicate_ray.stages.joins import stable_hash
-        fids = t.column("file_id").to_pylist()
-        contents = t.column("content").to_pylist()
-        h_all = stable_hash(np.asarray(fids, dtype=object))
-        out_f, out_c, out_k, out_r = [], [], [], []
-        for row, (g, f, c) in enumerate(zip(gvals, fids, contents)):
-            k = counts.get(g, 1)
-            if k <= 1:
-                out_f.append(f); out_c.append(c)
-                out_k.append(f"{g}\x01#0_0"); out_r.append("b")
-                continue
-            s = int(h_all[row] % np.uint64(k))
-            for j in range(k):           # query side visits every shard
-                out_f.append(f); out_c.append(c)
-                out_k.append(f"{g}\x01#{s}_{j}"); out_r.append("q")
-            for i in range(k):           # host side of its own shard
-                out_f.append(f); out_c.append(c)
-                out_k.append(f"{g}\x01#{i}_{s}"); out_r.append("h")
-        return pa.table({"file_id": pa.array(out_f, pa.string()),
-                         "content": pa.array(out_c, pa.string()),
-                         "_scan_key": pa.array(out_k, pa.string()),
-                         "role": pa.array(out_r, pa.string())})
+                "file_id": pa.array([], pa.string()),
+                "content": pa.array([], pa.string()),
+                pcol: pa.array([], t.schema.field(pcol).type),
+                "_scan_id": pa.array([], pa.int64()),
+                "role": pa.array([], pa.string())})
+        gvals = np.asarray(t.column(pcol).to_pylist(), dtype=object)
+        over = np.asarray([g in defs for g in gvals], dtype=bool) \
+            if defs else np.zeros(len(gvals), dtype=bool)
+
+        take_idx: list[np.ndarray] = []
+        scan_ids: list[np.ndarray] = []
+        roles: list[np.ndarray] = []
+        base = np.flatnonzero(~over)
+        if base.size:  # under-cap groups: one copy, role 'b', scan_id -1
+            take_idx.append(base)
+            scan_ids.append(np.full(base.size, -1, dtype=np.int64))
+            roles.append(np.full(base.size, "b", dtype=object))
+        if over.any():
+            from deduplicate_ray.stages.joins import stable_hash
+            vmap = _ray.get(visits_ref) if visits_ref is not None else None
+            _miss = object()
+            fid_np = np.asarray(t.column("file_id").to_pylist(),
+                                dtype=object)
+            bucket = _len_bucket(blen)
+            for g in set(gvals[over].tolist()):
+                rows = np.flatnonzero(over & (gvals == g))
+                hi, nsub, off, _hf = defs[g]
+                total_subs = int(off[-1] + nsub[-1])
+                bk = bucket[rows]
+                start = np.searchsorted(hi, bk)  # own shard; lo<=bk<=hi
+                # host: exactly one copy into its length shard
+                hosts = rows[blen[rows] > min_len]
+                if hosts.size:
+                    hstart = start[blen[rows] > min_len]
+                    sub = (stable_hash(fid_np[hosts])
+                           % nsub[hstart].astype(np.uint64)).astype(np.int64)
+                    take_idx.append(hosts)
+                    scan_ids.append(off[hstart] + sub)
+                    roles.append(np.full(hosts.size, "h", dtype=object))
+                # query side: anchored docs ship only to their candidate
+                # sids from the visit map; anchorless docs (and overflow
+                # sentinels) take the length-pruned fanout
+                fan = np.ones(rows.size, dtype=bool)
+                if vmap is not None:
+                    contents_g = [t.column("content")[int(i)].as_py() or ""
+                                  for i in rows]
+                    has, _ = _first_anchor(contents_g, min_len, gap)
+                    v_rows: list[int] = []
+                    v_lists: list[np.ndarray] = []
+                    for li in np.flatnonzero(has):
+                        v = vmap.get(fid_np[rows[li]], _miss)
+                        if v is None:          # overflow sentinel → fanout
+                            continue
+                        fan[li] = False        # anchored: routed (or none)
+                        if v is not _miss and v.size:
+                            v_rows.append(rows[li])
+                            v_lists.append(v)
+                    if v_lists:
+                        cnts = np.asarray([x.size for x in v_lists],
+                                          np.int64)
+                        take_idx.append(
+                            np.repeat(np.asarray(v_rows, np.int64), cnts))
+                        scan_ids.append(np.concatenate(v_lists))
+                        roles.append(np.full(int(cnts.sum()), "q",
+                                             dtype=object))
+                frows = rows[fan]
+                if frows.size:  # fanout: every sub-shard from own upward
+                    qoff = off[start[fan]]
+                    reps = total_subs - qoff
+                    tot = int(reps.sum())
+                    if tot:
+                        rowrep = np.repeat(frows, reps)
+                        cum0 = np.zeros(frows.size, dtype=np.int64)
+                        np.cumsum(reps[:-1], out=cum0[1:])
+                        within = np.arange(tot, dtype=np.int64) \
+                            - np.repeat(cum0, reps)
+                        take_idx.append(rowrep)
+                        scan_ids.append(within + np.repeat(qoff, reps))
+                        roles.append(np.full(tot, "q", dtype=object))
+        idx = np.concatenate(take_idx)
+        picked = t.select(["file_id", "content", pcol]) \
+            .take(pa.array(idx, pa.int64()))
+        return picked.append_column(
+            "_scan_id", pa.array(np.concatenate(scan_ids), pa.int64())
+        ).append_column(
+            "role", pa.array(np.concatenate(roles), pa.string()))
 
     def scan(g: pd.DataFrame) -> pa.Table:
         # arrow output keeps empty blocks TYPED (string, not object) —
@@ -284,7 +670,9 @@ def containment_edges(corpus_with_ids: rd.Dataset,
              "dst": pa.array([p[1] for p in pairs], pa.string())})
 
     exploded = src.map_batches(explode_shards, batch_format="pyarrow")
-    return exploded.groupby("_scan_key").map_groups(
+    if _return_exploded:  # test hook: measure shipped (exploded) volume
+        return exploded
+    return exploded.groupby([pcol, "_scan_id"]).map_groups(
         scan, batch_format="pandas")
 
 

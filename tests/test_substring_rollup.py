@@ -85,6 +85,114 @@ def test_sharded_group_scan_matches_unsharded():
     assert got == expect
 
 
+def _monorepo_fixture(cap: int):
+    """One repo ~10x over the byte cap, code-like length skew (most bytes
+    in the longer docs), with embedded short→long containment pairs."""
+    import numpy as np
+    from numpy.random import Generator, PCG64
+    from deduplicate_ray.fixtures import Fixture, _rand_code
+
+    rng = Generator(PCG64(7))
+    fx = Fixture("monorepo")
+    inners = []
+    for i in range(40):  # short docs, some embedded below
+        inners.append(_rand_code(rng, int(rng.integers(4, 12))))
+        fx.add("org9/mono", f"small/s{i}.py", inners[-1], rng=rng)
+    total = 0
+    i = 0
+    while total < 10 * cap:  # lognormal lengths: big files carry the bytes
+        n_lines = int(np.clip(np.exp(rng.normal(4.6, 1.0)), 8, 4000))
+        body = _rand_code(rng, n_lines)
+        if i % 3 == 0:  # embed a short doc verbatim
+            k = int(rng.integers(0, len(inners)))
+            body = body + inners[k] + _rand_code(rng, 5)
+        fx.add("org9/mono", f"big/b{i}.py", body, rng=rng)
+        total += len(body.encode())
+        i += 1
+    return fx
+
+
+def test_length_aware_sharding_volume_and_parity():
+    """Round-3 verdict #2 'done' criterion: a single-repo group at 10x the
+    byte cap must (a) produce the identical edge set to the unsharded
+    scan, and (b) ship O(bytes), not O(bytes^2/cap) — the old every-
+    shard-pair scheme exploded each doc 2k times (~20x here); the
+    length-aware scheme's host side is exactly 1x and queries visit only
+    shards that can hold strictly longer docs."""
+    import pyarrow.compute as pc
+
+    cap = 16384
+    fx = _monorepo_fixture(cap)
+    tbl = fx.table()
+    in_bytes = pc.sum(pc.binary_length(tbl.column("content"))).as_py()
+    assert in_bytes > 8 * cap
+
+    ds = substring.add_ids_only(rd.from_arrow(tbl))
+    base = substring.containment_edges(ds, PipelineConfig())
+    expect = {(r["src"], r["dst"]) for r in base.take_all()}
+    assert expect, "fixture should contain containment pairs"
+
+    cfg = PipelineConfig(substring_group_bytes_cap=cap)
+    sharded = substring.containment_edges(ds, cfg)
+    got = {(r["src"], r["dst"]) for r in sharded.take_all()}
+    assert got == expect
+
+    exploded = substring.containment_edges(ds, cfg, _return_exploded=True)
+    shipped = 0
+    for b in exploded.iter_batches(batch_format="pyarrow"):
+        shipped += pc.sum(pc.binary_length(b.column("content"))).as_py() or 0
+    ratio = shipped / in_bytes
+    k = -(-in_bytes // cap)
+    # skewed (code-like) corpus: near-linear shipped volume; and in ANY
+    # shape the scheme must beat the old every-shard-pair 2k explosion
+    assert ratio <= 4.0, f"exploded volume {ratio:.1f}x input (O(bytes^2)?)"
+    assert ratio < k, f"{ratio:.1f}x >= k={k} (no better than pairwise)"
+
+
+def test_window_hash_kernel():
+    """Rolling window hash == direct polynomial evaluation; anchor keys
+    are a pure function of the window bytes (embedding-invariant)."""
+    import numpy as np
+    from deduplicate_ray.stages.substring import (_window_hashes, _B64,
+                                                  _batch_anchors)
+
+    rng = np.random.default_rng(3)
+    buf = rng.integers(0, 256, 200, dtype=np.uint8)
+    w = 7
+    got = _window_hashes(buf, w)
+    for i in [0, 1, 57, 193]:
+        direct = np.uint64(0)
+        for j in range(w):
+            direct = direct * _B64 + np.uint64(buf[i + j])
+        assert got[i] == direct
+    # embedding invariance: the anchors of `inner` appear among the
+    # anchors of any host that contains it verbatim
+    inner = "\n".join(f"def f{i}(x):\n    return x * {i}" for i in range(20))
+    host = "PREFIX----" + inner + "-----SUFFIX" * 4
+    d_i, k_i = _batch_anchors([inner], 32, 16)
+    d_h, k_h = _batch_anchors([host], 32, 16)
+    assert k_i.size > 0, "inner should have anchors at gap=16"
+    assert set(k_i.tolist()) <= set(k_h.tolist())
+
+
+def test_routing_fallbacks_match_unsharded():
+    """Exactness of both degraded modes: visits budget blown (-> full
+    length-pruned fanout) and anchor group cap blown (-> per-query
+    overflow sentinel -> fanout)."""
+    cap = 16384
+    fx = _monorepo_fixture(cap)
+    ds = substring.add_ids_only(rd.from_arrow(fx.table()))
+    expect = {(r["src"], r["dst"])
+              for r in substring.containment_edges(
+                  ds, PipelineConfig()).take_all()}
+    for kw in ({"substring_visits_budget": 0},
+               {"substring_anchor_group_cap": 0}):
+        cfg = PipelineConfig(substring_group_bytes_cap=cap, **kw)
+        got = {(r["src"], r["dst"])
+               for r in substring.containment_edges(ds, cfg).take_all()}
+        assert got == expect, f"fallback {kw} diverged"
+
+
 def test_keeper_report_matches_golden():
     """Regression pin for the greedy keeper policy (not SQL-expressible,
     so the driver records rows-only): the seeded sf0.01 corpus is
