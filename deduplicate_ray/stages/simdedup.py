@@ -26,6 +26,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 from ray.data.aggregate import Count
@@ -332,25 +333,63 @@ def ngram_jaccard_edges(ds: rd.Dataset, id_col: str, text_col: str = "text",
                          num_buckets=num_partitions)
 
     def verify_joined(t: pa.Table) -> pa.Table:
-        out_s, out_d, out_j = [], [], []
-        for a, b, ga, gb in zip(t.column("src").to_pylist(),
-                                t.column("dst").to_pylist(),
-                                t.column("grams_src").to_pylist(),
-                                t.column("grams_dst").to_pylist()):
-            ha = np.frombuffer(ga or b"", dtype=np.uint64)
-            hb = np.frombuffer(gb or b"", dtype=np.uint64)
-            if not len(ha) or not len(hb):
-                continue
-            inter = np.intersect1d(ha, hb, assume_unique=True).size
-            j = inter / (len(ha) + len(hb) - inter)
-            if j >= threshold:
-                out_s.append(a); out_d.append(b); out_j.append(j)
+        # one vectorized pass per BATCH (round-3 verdict: the per-pair
+        # Python loop with to_pylist blob unpacking was the remaining
+        # Python-rate stage): view each large_binary column's values
+        # buffer as one uint64 array zero-copy, tag every gram with its
+        # pair index, lexsort (pair, gram) once, and count adjacent
+        # equal grams within a pair — each side is unique+sorted per
+        # doc, so a gram appears at most twice per pair and the adjacent
+        # count IS the intersection size.
+        n_pairs = t.num_rows
+        if n_pairs == 0:
+            return pa.table({
+                "src": pa.array([], t.schema.field("src").type),
+                "dst": pa.array([], t.schema.field("dst").type),
+                "jaccard": pa.array([], pa.float64())})
+        va, na = _blob_u64_view(t.column("grams_src"))
+        vb, nb = _blob_u64_view(t.column("grams_dst"))
+        pid = np.concatenate([np.repeat(np.arange(n_pairs, dtype=np.int64),
+                                        na),
+                              np.repeat(np.arange(n_pairs, dtype=np.int64),
+                                        nb)])
+        grams = np.concatenate([va, vb])
+        order = np.lexsort((grams, pid))
+        gs, ps = grams[order], pid[order]
+        eq = (ps[1:] == ps[:-1]) & (gs[1:] == gs[:-1])
+        inter = np.bincount(ps[1:][eq], minlength=n_pairs)
+        union = na + nb - inter
+        j = inter / np.maximum(union, 1)
+        keep = np.flatnonzero((na > 0) & (nb > 0) & (j >= threshold))
+        idx = pa.array(keep, pa.int64())
         return pa.table({
-            "src": pa.array(out_s, t.schema.field("src").type),
-            "dst": pa.array(out_d, t.schema.field("dst").type),
-            "jaccard": pa.array(out_j, pa.float64())})
+            "src": t.column("src").take(idx),
+            "dst": t.column("dst").take(idx),
+            "jaccard": pa.array(j[keep], pa.float64())})
 
     return joined.map_batches(verify_joined, batch_format="pyarrow")
+
+
+def _blob_u64_view(col: "pa.ChunkedArray | pa.Array") \
+        -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy view of a large_binary column of uint64-blob rows:
+    (concatenated uint64 values, per-row element counts). Nulls count 0.
+    Arrow offsets tile the values region contiguously, so the slice
+    between the first and last offset is exactly the row blobs in row
+    order."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if arr.null_count:
+        arr = pc.fill_null(arr, b"")
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], np.int64)[arr.offset:
+                                            arr.offset + len(arr) + 1]
+    counts = (offs[1:] - offs[:-1]) // 8
+    raw = np.frombuffer(bufs[2], np.uint8)[offs[0]:offs[-1]]
+    try:
+        vals = raw.view(np.uint64)
+    except ValueError:          # mis-aligned slice start: one copy
+        vals = np.frombuffer(raw.tobytes(), np.uint64)
+    return vals, counts
 
 
 def embedding_cosine_edges(embeddings: rd.Dataset, threshold: float = 0.95,

@@ -144,6 +144,30 @@ def test_ngram_jaccard_scale_path_matches_broadcast():
     assert any(r["src"] == 1 and r["dst"] == 2 for r in scale)
 
 
+def test_blob_u64_view_nulls_and_slices():
+    """The zero-copy blob viewer must handle null rows (count 0), empty
+    blobs, chunked columns and sliced arrays (nonzero Arrow offset)."""
+    import numpy as np
+    import pyarrow as pa
+    from deduplicate_ray.stages.simdedup import _blob_u64_view
+
+    b1 = np.array([3, 1, 7], np.uint64).tobytes()
+    b2 = np.array([9], np.uint64).tobytes()
+    arr = pa.array([b1, None, b"", b2], pa.large_binary())
+    vals, counts = _blob_u64_view(arr)
+    assert counts.tolist() == [3, 0, 0, 1]
+    assert vals.tolist() == [3, 1, 7, 9]
+    # sliced: offsets no longer start at 0
+    vals, counts = _blob_u64_view(arr.slice(1, 3))
+    assert counts.tolist() == [0, 0, 1]
+    assert vals.tolist() == [9]
+    # chunked column
+    ch = pa.chunked_array([arr.slice(0, 2), arr.slice(2, 2)])
+    vals, counts = _blob_u64_view(ch)
+    assert counts.tolist() == [3, 0, 0, 1]
+    assert vals.tolist() == [3, 1, 7, 9]
+
+
 def test_loose_file_ingest_and_empty_dir_census(tmp_path):
     """S1 loose-file ingest + the A6 empty-dir census side table: files
     become corpus rows; the walk-time dirs table reports the directory
