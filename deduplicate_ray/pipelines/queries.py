@@ -135,10 +135,18 @@ def q_minhash_clusters_docs(sf_dir: str):
 
 
 def q_simhash_pairs_docs(sf_dir: str):
-    """SimHash near-dup pairs over documents (rows-only)."""
+    """SimHash near-dup pairs over documents. Full SQL oracle: the
+    simhash column is pinned to a parquet regenerated by
+    tools/pin_hashes.py (pin honesty enforced by pytest every run), and
+    DuckDB recomputes the pairing independently as the quadratic
+    bit_count(xor(a, b)) <= 3 self-join. max_bucket_pairs is raised to
+    the exact-recall regime (band pigeonhole gives recall 1.0 when no
+    bucket truncates), mirroring the sketch queries' exact-regime
+    oracles; production pipelines keep the default cap."""
     docs = _t(sf_dir, "documents", ["doc_id", "text"], split=8)
     hashed = simdedup.add_simhash(docs)
-    out = simdedup.simhash_edges(hashed, id_col="doc_id", max_hamming=3)
+    out = simdedup.simhash_edges(hashed, id_col="doc_id", max_hamming=3,
+                                 max_bucket_pairs=1 << 30)
     return _as_table(out, pa.schema([
         ("src", pa.int64()), ("dst", pa.int64())]))
 
@@ -1101,11 +1109,11 @@ QUERIES = {
     "part_type_stats": q_part_type_stats,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
+    "simhash_pairs_docs": q_simhash_pairs_docs,
+    "fingerprint_docs": q_fingerprint_docs,
     # --- rows-only (no SQL oracle by design; golden-pinned in pytest) ---
     "minhash_clusters_docs": q_minhash_clusters_docs,
-    "simhash_pairs_docs": q_simhash_pairs_docs,
     "keeper_report_docs": q_keeper_report_docs,
-    "fingerprint_docs": q_fingerprint_docs,
     "knn_cosine_lsh": q_knn_cosine_lsh,
     "knn_cosine_ivf": q_knn_cosine_ivf,
     "media_features": q_media_features,
@@ -1682,5 +1690,24 @@ ORACLE_SQL = {
         SELECT user_id, session_id, MIN(ts) AS session_start,
                MAX(ts) AS session_end, COUNT(*) AS n_events
         FROM s GROUP BY user_id, session_id
+    """,
+    # The simhash column is PINNED (tools/pin_hashes.py; pin honesty is a
+    # pytest assertion recomputing it from testdata every run) — DuckDB
+    # independently recomputes the PAIRING as the exact quadratic
+    # hamming self-join the banded Ray path must reproduce at full
+    # recall (exact regime, no bucket truncation).
+    "simhash_pairs_docs": """
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM read_parquet('/root/repo/tests/pinned_simhash_sf001.parquet') a
+        JOIN read_parquet('/root/repo/tests/pinned_simhash_sf001.parquet') b
+          ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    # Per-doc rolling fingerprints have no pairing step — the oracle is
+    # the pinned relation itself (kernel drift fails the pytest pin
+    # check; the driver row verifies the Ray path end-to-end).
+    "fingerprint_docs": """
+        SELECT doc_id, fingerprint
+        FROM read_parquet('/root/repo/tests/pinned_fingerprint_sf001.parquet')
     """,
 }

@@ -55,3 +55,23 @@ def test_rows_only_query_matches_golden(name):
     rows, expected = GOLDEN[name]
     assert len(df) == rows
     assert value_hash(df) == expected
+
+
+def test_pinned_hash_parquets_match_fresh_compute():
+    """Pin honesty for the simhash/fingerprint SQL oracles: the pinned
+    parquets (tools/pin_hashes.py) must equal a fresh computation from
+    the same kernels over the same testdata — a kernel change that
+    forgets to regenerate the pins fails HERE, not as a silent oracle
+    shift. (simhash_pairs_docs / fingerprint_docs also keep their golden
+    hashes above; the new SQL oracles verify the PAIRING independently.)"""
+    import os
+    import pyarrow.parquet as pq
+    from tools.pin_hashes import build_tables
+
+    here = os.path.dirname(__file__)
+    sim_t, fp_t = build_tables(SF_DIR)
+    assert sim_t.equals(
+        pq.read_table(os.path.join(here, "pinned_simhash_sf001.parquet")))
+    assert fp_t.equals(
+        pq.read_table(os.path.join(here,
+                                   "pinned_fingerprint_sf001.parquet")))
