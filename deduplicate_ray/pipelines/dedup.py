@@ -60,7 +60,8 @@ def _pin(ds_factory, cfg: PipelineConfig, stage: str) -> rd.Dataset:
 def near_dup_clusters(corpus: rd.Dataset, cfg: PipelineConfig | None = None,
                       collapse_exact: bool = True,
                       with_substring: bool = False,
-                      hashed: rd.Dataset | None = None) -> rd.Dataset:
+                      hashed: rd.Dataset | None = None,
+                      narrow: rd.Dataset | None = None) -> rd.Dataset:
     """corpus → ``(file_id, cluster_id)`` for every row that belongs to a
     duplicate cluster (exact or near). Singletons are omitted; callers who
     need total assignments use :func:`assign_all`.
@@ -72,6 +73,11 @@ def near_dup_clusters(corpus: rd.Dataset, cfg: PipelineConfig | None = None,
     ``exact.hash_corpus(corpus, keep_content=True)`` (e.g. :func:`full_dedup`)
     pass the pinned relation through, so the corpus streams through
     read+sha256 exactly once across the WHOLE run, not once per stage.
+    ``narrow`` additionally passes a caller-pinned CONTENT-FREE projection
+    of the same rows (must carry ``file_id`` + ``sha256``): the narrow
+    relation and the driver metadata fetch then derive from it instead of
+    re-projecting (and re-pinning) the content-bearing blocks — one
+    narrow materialization across the whole run (round-3 verdict #7).
     """
     cfg = cfg or PipelineConfig()
 
@@ -91,12 +97,13 @@ def near_dup_clusters(corpus: rd.Dataset, cfg: PipelineConfig | None = None,
     # the pinned hashed blocks: materializing it again bought nothing but
     # an extra barrier + object-store copy (the round-1 re-execution
     # hazard is gone because hashed itself is pinned).
+    narrow_src = narrow if narrow is not None else hashed
     if cfg.checkpoint_dir:
-        narrow = _pin(lambda: hashed.map_batches(
+        narrow = _pin(lambda: narrow_src.map_batches(
             lambda t: t.select(["file_id", "sha256"]),
             batch_format="pyarrow"), cfg, "hashes")
     else:
-        narrow = hashed.map_batches(
+        narrow = narrow_src.map_batches(
             lambda t: t.select(["file_id", "sha256"]),
             batch_format="pyarrow")
     _lap("narrow")
@@ -120,9 +127,12 @@ def near_dup_clusters(corpus: rd.Dataset, cfg: PipelineConfig | None = None,
         if hashed.count() <= cfg.driver_metadata_limit:
             import ray as _ray0
             _lap("meta:count")
+            # fetch from the caller's content-free pin when provided —
+            # the driver then never holds refs to content-bearing blocks
             meta_tbl = pa.concat_tables(
                 t.select(["file_id", "sha256"])
-                for t in _ray0.get(hashed.to_arrow_refs()) if t.num_rows)
+                for t in _ray0.get(narrow_src.to_arrow_refs())
+                if t.num_rows)
             _lap("meta:fetch")
             reps_tbl = pa.TableGroupBy(meta_tbl, "sha256").aggregate(
                 [("file_id", "min")])
@@ -439,8 +449,11 @@ def full_dedup(corpus: rd.Dataset, cfg: PipelineConfig | None = None) -> dict:
         lambda t: t.drop_columns(["content"]),
         batch_format="pyarrow").materialize()
     members = exact.exact_members(hashes, cfg).materialize()
+    # `hashes` doubles as the run's single narrow pin: near_dup_clusters
+    # derives its (file_id, sha256) projection and the driver metadata
+    # fetch from it instead of re-projecting the content-bearing blocks
     clusters = near_dup_clusters(corpus, cfg, with_substring=True,
-                                 hashed=hashed)
+                                 hashed=hashed, narrow=hashes)
     roll = rollup.dir_rollup(members, hashes,
                              num_partitions=cfg.num_partitions)
     keepers = rollup.elect_keepers(members, hashes,

@@ -22,9 +22,12 @@ clause):
   map task and apply the caller's ``reduce_fn``.
 
 Outputs re-enter Ray Data via ``from_arrow_refs`` so downstream stages
-keep streaming. The exchanged relation is fully materialized in the
-object store between the stages (no backpressure) — callers only route
-NARROW relations (ints + file-id strings) through it, never content.
+keep streaming. The exchanged relation is materialized in the object
+store between the stages — callers only route NARROW relations (ints +
+file-id strings) through it, never content — and the ``chunk_rows``
+reduce mode streams each reduced partition out as bounded chunks, so a
+partition bigger than the store spills chunk-by-chunk instead of
+failing to allocate one giant object.
 
 Cluster scaling: object count is O(map_tasks × n_parts). ``max_map_tasks``
 coalesces input blocks so a 100k-block corpus doesn't create 100k × P
@@ -83,16 +86,35 @@ def _split_many(part_fn, n_parts: int, *tbls):
     return _split(tbl, part_fn, n_parts)
 
 
-def _reduce(reduce_fn, schema_hint: pa.Schema | None, *parts: pa.Table
-            ) -> pa.Table:
+def _gather(schema_hint: pa.Schema | None, parts) -> pa.Table:
     live = [p for p in parts if p.num_rows]
     if live:
-        tbl = pa.concat_tables(live) if len(live) > 1 else live[0]
-    elif schema_hint is not None:
-        tbl = schema_hint.empty_table()
-    else:
-        tbl = parts[0]
-    return reduce_fn(tbl)
+        return pa.concat_tables(live) if len(live) > 1 else live[0]
+    if schema_hint is not None:
+        return schema_hint.empty_table()
+    return parts[0]
+
+
+def _reduce(reduce_fn, schema_hint: pa.Schema | None, *parts: pa.Table
+            ) -> pa.Table:
+    return reduce_fn(_gather(schema_hint, parts))
+
+
+def _reduce_stream(reduce_fn, schema_hint: pa.Schema | None,
+                   chunk_rows: int, *parts: pa.Table):
+    """Generator-task reduce: yield the reduced partition in
+    ``chunk_rows``-row chunks so no single output object has to fit the
+    object store whole — a band-scale partition streams out (and can
+    spill) chunk by chunk instead of failing allocation as one giant
+    object. The reduce_fn itself still sees the complete partition (its
+    semantic contract); per-task HEAP stays bounded by partition size,
+    which n_parts is sized for."""
+    out = reduce_fn(_gather(schema_hint, parts))
+    if out.num_rows == 0:
+        yield out
+        return
+    for s in range(0, out.num_rows, chunk_rows):
+        yield out.slice(s, min(chunk_rows, out.num_rows - s))
 
 
 def _default_map_tasks() -> int:
@@ -114,13 +136,22 @@ def exchange(blocks: "list[ray.ObjectRef] | rd.Dataset",
              part_fn: Callable[[pa.Table], np.ndarray],
              reduce_fn: Callable[[pa.Table], pa.Table],
              n_parts: int,
-             max_map_tasks: int | None = None) -> rd.Dataset:
+             max_map_tasks: int | None = None,
+             chunk_rows: int | None = None) -> rd.Dataset:
     """Hash-exchange ``blocks`` into ``n_parts`` partitions and reduce each.
 
     ``part_fn``: vectorized ``pa.Table -> int array in [0, n_parts)``.
     ``reduce_fn``: ``pa.Table -> pa.Table`` applied once per partition
     (all rows of a partition in one table). Returns a Dataset over the
     reduced partition tables.
+
+    ``chunk_rows``: when set, reducers are Ray GENERATOR tasks yielding
+    the reduced partition in chunks of at most that many rows — the
+    spill-aware mode: no single output object has to be allocated whole,
+    so a partition larger than the object store streams out under
+    spilling instead of failing allocation (see ``_reduce_stream``).
+    Downstream blocks are chunk-sized, which also bounds the heap of
+    whatever consumes them. Leave ``None`` for one table per partition.
 
     Executes EAGERLY (the input lineage runs at call time) — callers that
     need laziness must not route through the exchange.
@@ -163,6 +194,14 @@ def exchange(blocks: "list[ray.ObjectRef] | rd.Dataset",
     schema_hint = input_schema if input_schema is not None \
         else ray.get(slice_refs[0][0]).schema
 
+    if chunk_rows is not None:
+        gen = ray.remote(num_returns="dynamic")(_reduce_stream)
+        gen_refs = [
+            gen.remote(reduce_fn, schema_hint, int(chunk_rows),
+                       *[slice_refs[m][p] for m in range(len(groups))])
+            for p in range(n_parts)]
+        out_refs = [r for g in ray.get(gen_refs) for r in g]
+        return rd.from_arrow_refs(out_refs)
     reduce = ray.remote(_reduce)
     out_refs = [
         reduce.remote(reduce_fn, schema_hint,

@@ -6,10 +6,12 @@ typed metadata columns (``media_type``, ``width``/``height``/
 actor-pool ``map_batches`` stages: codec state loads once per actor
 (``__init__``), batches stream through ``__call__``.
 
-The decode kernels themselves are STUBBED in this container (no
-PIL/libav/ffmpeg): each stage tries the real import and falls back to a
-deterministic fake (documented below) so the Ray-side plumbing — schema,
-batch sizing, actor signature, output layout — is real and tested. Swap
+Image decode is REAL when PIL imports (grayscale-thumbnail features,
+``ImageFeaturizer._features_pil``; covered by a skipped-if-no-PIL test)
+and falls back to a deterministic fake otherwise, so the Ray-side
+plumbing — schema, batch sizing, actor signature, output layout — is
+real and tested even in codec-less containers. Audio/video frame
+sampling remains stubbed (no libav/ffmpeg anywhere reachable); swap
 ``_decode_fake`` for the library call to productionize; nothing else
 changes.
 
@@ -65,9 +67,30 @@ class ImageFeaturizer:
             self.backend = "stub"
 
     def _features(self, payload: bytes) -> np.ndarray:
-        if self.backend == "pil":  # pragma: no cover
-            raise NotImplementedError("real decode path requires PIL")
+        if self.backend == "pil":  # pragma: no cover - no PIL in CI box
+            return self._features_pil(payload)
         return _decode_fake(payload, self.out_dim)
+
+    def _features_pil(self, payload: bytes) -> np.ndarray:
+        """Real decode (used automatically when PIL imports): grayscale
+        thumbnail intensities as the feature vector — decode + resize to
+        a g x g grid (g = isqrt(out_dim), remainder zero-padded),
+        normalized to [0, 1]. An undecodable payload falls back to the
+        deterministic stub so one corrupt image never kills a batch."""
+        import io
+
+        from PIL import Image
+
+        try:
+            g = max(1, int(np.sqrt(self.out_dim)))
+            img = Image.open(io.BytesIO(payload or b"")).convert("L") \
+                .resize((g, g))
+            flat = (np.asarray(img, dtype=np.float32) / 255.0).reshape(-1)
+            out = np.zeros(self.out_dim, dtype=np.float32)
+            out[:min(flat.size, self.out_dim)] = flat[:self.out_dim]
+            return out
+        except Exception:
+            return _decode_fake(payload, self.out_dim)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()

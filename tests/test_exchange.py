@@ -120,3 +120,58 @@ def test_exchange_all_empty_map_group():
     out = ex.exchange(blocks, lambda t: np.asarray(t.column("k")) % 2,
                       lambda t: t, 2, max_map_tasks=2)
     assert sorted(r["v"] for r in out.take_all()) == list(range(10))
+
+
+def test_exchange_chunked_matches_eager():
+    """chunk_rows mode: same rows, same partition isolation, but split
+    into bounded blocks (no output block larger than chunk_rows)."""
+    blocks = [ray.put(_table(100, 0)), ray.put(_table(100, 100)),
+              ray.put(_table(37, 200))]
+    n_parts = 3
+
+    def part_fn(t):
+        return np.asarray(t.column("k")) % n_parts
+
+    out = ex.exchange(blocks, part_fn, lambda t: t, n_parts,
+                      chunk_rows=16)
+    batches = list(out.iter_batches(batch_format="pyarrow",
+                                    batch_size=None))
+    assert sorted(v for b in batches
+                  for v in b.column("v").to_pylist()) == list(range(237))
+    assert all(b.num_rows <= 16 for b in batches)
+    assert len(batches) > n_parts  # genuinely chunked
+
+
+def test_exchange_chunked_streams_past_object_store_capacity():
+    """The spill-aware criterion (round-3 verdict #5): with an object
+    store SMALLER than one reduced partition, the eager mode would have
+    to allocate the partition as one giant object; chunk_rows streams it
+    out in store-sized pieces (spilling as needed). Runs in a fresh
+    subprocess so the bounded-store ray session doesn't disturb the
+    session fixture."""
+    import subprocess
+    import sys
+
+    child = r"""
+import numpy as np, pyarrow as pa, ray
+ray.init(num_cpus=2, include_dashboard=False, logging_level="ERROR",
+         object_store_memory=120 * 1024 * 1024)
+from deduplicate_ray.stages import exchange as ex
+# 16 x 12.5MB blocks -> one partition of ~200MB > 120MB store
+blocks = []
+for i in range(16):
+    v = np.arange(i * 1_562_500, (i + 1) * 1_562_500, dtype=np.int64)
+    blocks.append(ray.put(pa.table({"v": v})))
+out = ex.exchange(blocks, lambda t: np.zeros(t.num_rows, np.int64),
+                  lambda t: t, n_parts=1, chunk_rows=1_000_000)
+total = n = 0
+for b in out.iter_batches(batch_format="pyarrow", batch_size=None):
+    total += int(np.asarray(b.column("v")).sum()); n += b.num_rows
+assert n == 25_000_000, n
+assert total == 25_000_000 * (25_000_000 - 1) // 2, total
+print("CHUNKED_OK")
+ray.shutdown()
+"""
+    r = subprocess.run([sys.executable, "-c", child], capture_output=True,
+                       text=True, timeout=420)
+    assert "CHUNKED_OK" in r.stdout, r.stderr[-2000:]

@@ -243,6 +243,30 @@ def test_multimodal_featurize_schema():
            [r["features"] for r in sorted(out2, key=lambda r: r["item_id"])]
 
 
+def test_multimodal_real_pil_decode():
+    """Real decode path, exercised only where PIL is installed (this CI
+    container has no codecs — the test self-skips): a solid-color PNG
+    must featurize to its normalized intensity, and a corrupt payload
+    must fall back to the deterministic stub instead of raising."""
+    import io
+
+    import numpy as np
+    import pytest
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+
+    img = PIL_Image.new("L", (20, 20), color=128)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    f = multimodal.ImageFeaturizer(out_dim=16)
+    assert f.backend == "pil"
+    feats = f._features(buf.getvalue())
+    assert feats.shape == (16,)
+    assert np.allclose(feats, 128 / 255.0, atol=1e-3)
+    corrupt = f._features(b"not an image")
+    assert corrupt.shape == (16,)
+
+
 def test_multimodal_frame_sampler_explodes_rows():
     media = rd.from_arrow(multimodal.synth_media(n=5))
     out = multimodal.sample_frames(media, n_frames=3, frame_dim=8).take_all()
