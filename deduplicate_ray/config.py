@@ -103,6 +103,13 @@ class PipelineConfig:
     signer_batch_size: int = 256
     signer_concurrency: int | tuple[int, int] = (1, 4)  # MinHash actor pool (min, max)
     num_partitions: int = 16        # hash-join / shuffle partition count
+    #: Band-scale exchange reduces yield their partition in chunks of at
+    #: most this many rows (stages/exchange.py chunk_rows): no single
+    #: output object has to fit the object store whole, so billion-pair
+    #: relations stream out under spilling. 4M (src, dst) int64 rows
+    #: ~ 64 MB per chunk. At bench scale partitions are far smaller and
+    #: the mode degenerates to one chunk per partition.
+    exchange_chunk_rows: int = 4_000_000
     #: When the narrow (file_id, sha256) metadata relation has at most this
     #: many rows, representative election and family fold-in run driver-side
     #: in pandas (one fetch of the pinned relation) instead of as

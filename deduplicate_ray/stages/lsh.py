@@ -472,13 +472,17 @@ def candidate_pairs(bands: rd.Dataset, cfg: PipelineConfig | None = None,
     # globally just to co-locate buckets — measured 24.5 s -> ~8 s at 6.2M
     # band rows / 32 cpus
     from deduplicate_ray.stages.exchange import exchange
-    pairs = exchange(salted, part_fn, emit_reduce, n_parts)
+    # chunked reduce: a hot partition's pair expansion streams out in
+    # bounded chunks instead of one giant object (spill-aware mode)
+    pairs = exchange(salted, part_fn, emit_reduce, n_parts,
+                     chunk_rows=cfg.exchange_chunk_rows)
     if not any_salted:
         return pairs
     return pairs.union(bridge_edges(salted))
 
 
-def dedup_edges(edges: rd.Dataset, num_partitions: int = 16) -> rd.Dataset:
+def dedup_edges(edges: rd.Dataset, num_partitions: int = 16,
+                chunk_rows: int | None = None) -> rd.Dataset:
     """Collapse multi-band duplicates of the same pair: hash-exchange on
     the pair key and ``drop_duplicates`` per partition. Uses the raw-task
     exchange (``stages.exchange``) — Ray's sort-based groupby spent 14.3 s
@@ -504,7 +508,7 @@ def dedup_edges(edges: rd.Dataset, num_partitions: int = 16) -> rd.Dataset:
 
     from deduplicate_ray.stages.exchange import exchange
     return exchange(edges.select_columns(["src", "dst"]),
-                    part_fn, drop_dups, n_parts)
+                    part_fn, drop_dups, n_parts, chunk_rows=chunk_rows)
 
 
 def truncation_metrics(bands: rd.Dataset, cfg: PipelineConfig | None = None) -> dict:
