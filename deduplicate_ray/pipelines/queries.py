@@ -162,11 +162,10 @@ def q_ngram_jaccard_pairs_docs(sf_dir: str):
         ("src", pa.int64()), ("dst", pa.int64()), ("jaccard", pa.float64())]))
 
 
-def q_containment_docs(sf_dir: str):
-    """Stage-3 substring containment within each source partition, over a
-    corpus seeded with deterministic host docs (every 25th doc's text
-    wrapped in a prefix/suffix → real embedded-file pairs at every sf;
-    oracle = the quadratic LIKE self-join DuckDB can afford at sf0.01)."""
+def _containment_corpus(sf_dir: str) -> rd.Dataset:
+    """documents-as-corpus plus deterministic host docs (every 25th doc's
+    text wrapped in a prefix/suffix → real embedded-file pairs at every
+    sf) — shared input of the containment queries."""
     base = documents_as_corpus(sf_dir)
     docs = _t(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
 
@@ -185,9 +184,29 @@ def q_containment_docs(sf_dir: str):
                  for t in b.column("text").to_pylist()], pa.string()),
         })
 
-    corpus = base.union(docs.map_batches(host_rows, batch_format="pyarrow"))
+    return base.union(docs.map_batches(host_rows, batch_format="pyarrow"))
+
+
+def q_containment_docs(sf_dir: str):
+    """Stage-3 substring containment within each source partition
+    (oracle = the quadratic LIKE self-join DuckDB can afford at sf0.01)."""
     cfg = PipelineConfig(min_containment_len=64)
-    ds = substring.add_ids_only(corpus)
+    ds = substring.add_ids_only(_containment_corpus(sf_dir))
+    out = substring.containment_edges(ds, cfg, partition_col="repo")
+    return _as_table(out, pa.schema([
+        ("src", pa.string()), ("dst", pa.string())]))
+
+
+def q_containment_sharded_docs(sf_dir: str):
+    """The SAME containment task FORCED onto the oversized-group plan
+    (round-4): the byte cap sits far below every source group's bytes,
+    so the length-ordered shard defs, the content-defined anchor
+    relations, the candidate visit lists and the anchorless fanout
+    fallback all execute — and must reproduce the identical edge set the
+    single-task scan (and the quadratic SQL oracle) produces."""
+    cfg = PipelineConfig(min_containment_len=64,
+                         substring_group_bytes_cap=16384)
+    ds = substring.add_ids_only(_containment_corpus(sf_dir))
     out = substring.containment_edges(ds, cfg, partition_col="repo")
     return _as_table(out, pa.schema([
         ("src", pa.string()), ("dst", pa.string())]))
@@ -1091,6 +1110,7 @@ QUERIES = {
     "dup_members_docs": q_dup_members_docs,
     "ngram_jaccard_pairs_docs": q_ngram_jaccard_pairs_docs,
     "containment_docs": q_containment_docs,
+    "containment_sharded_docs": q_containment_sharded_docs,
     "cascade_dup_groups_docs": q_cascade_dup_groups_docs,
     "dir_rollup_docs": q_dir_rollup_docs,
     "keeper_scalable_docs": q_keeper_scalable_docs,
@@ -1507,6 +1527,27 @@ ORACLE_SQL = {
         FROM g
     """,
     "containment_docs": """
+        WITH c AS (
+            SELECT source AS repo,
+                   source || '::doc' || CAST(doc_id AS VARCHAR) || '.txt'
+                       AS file_id,
+                   text
+            FROM documents
+            UNION ALL
+            SELECT source,
+                   source || '::doc' || CAST(doc_id + 2000000 AS VARCHAR)
+                       || '.txt',
+                   'HOST PREAMBLE ' || text || ' HOST EPILOGUE'
+            FROM documents WHERE doc_id % 25 = 0)
+        SELECT DISTINCT a.file_id AS src, b.file_id AS dst
+        FROM c a JOIN c b ON a.repo = b.repo
+        WHERE strlen(a.text) >= 64
+          AND strlen(b.text) > strlen(a.text)
+          AND position(a.text IN b.text) > 0
+    """,
+    # identical task + oracle, Ray side forced onto the oversized-group
+    # sharded plan (length shards + anchored routing) by a tiny byte cap
+    "containment_sharded_docs": """
         WITH c AS (
             SELECT source AS repo,
                    source || '::doc' || CAST(doc_id AS VARCHAR) || '.txt'
