@@ -126,10 +126,22 @@ def q_dup_members_docs(sf_dir: str):
 
 
 def q_minhash_clusters_docs(sf_dir: str):
-    """Stage-2 near-dup clustering over documents (rows-only check: LSH and
-    union-find are not SQL-expressible)."""
+    """Stage-2 near-dup clustering over documents. Full SQL oracle
+    (round-4): the per-doc MinHash band hashes and the 16-bit signature
+    fold the verify stage compares are pinned to parquets
+    (tools/pin_hashes.py; pin honesty enforced by pytest every run), and
+    DuckDB independently recomputes the PAIRING and CLUSTERING — band
+    equality → candidate pairs among exact-family representatives,
+    AVG(fold equality) >= 0.5 verify, then recursive-CTE min-label
+    connected components over (family ∪ verified) edges, which equals
+    the pipeline's union-find + family fold-in exactly (the family rep
+    is the min file_id of its family, so component minima coincide).
+    max_bucket_pairs is raised to the exact-recall regime so no bucket
+    takes the star+chain expansion (mirroring the simhash exact-regime
+    oracle); production keeps the default cap."""
     corpus = documents_as_corpus(sf_dir)
-    cfg = PipelineConfig(verify_threshold=0.5, num_partitions=4)
+    cfg = PipelineConfig(verify_threshold=0.5, num_partitions=4,
+                         max_bucket_pairs=1 << 30)
     return _as_table(dedup.near_dup_clusters(corpus, cfg), pa.schema([
         ("file_id", pa.string()), ("cluster_id", pa.string())]))
 
@@ -433,20 +445,29 @@ def q_knn_cosine(sf_dir: str):
 
 
 def q_knn_cosine_lsh(sf_dir: str):
-    """ANN variant (hyperplane buckets; rows-only — recall < 1 by design)."""
+    """ANN variant (hyperplane buckets, 1-bit multi-probe). Full SQL
+    oracle (round-4): the per-vector bucket codes and per-query probe
+    sets are pinned (tools/pin_hashes.py; pin honesty pytest-enforced)
+    and DuckDB recomputes the exact cosine top-10 over the probed
+    candidate set independently. Recall vs brute force stays < 1 by
+    design — the oracle checks the ANN contract (exact ranking within
+    the probed buckets), not brute-force equivalence."""
     emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = similarity.knn_cosine_lsh(emb, _query_vectors(sf_dir), k=10)
-    return out.select_columns(["query_id", "vec_id", "score"])
+    return out.select_columns(["query_id", "vec_id"])
 
 
 def q_knn_cosine_ivf(sf_dir: str):
     """IVF ANN variant (spherical-k-means coarse quantizer, n_probe-list
-    search; rows-only — recall < 1 by design, see
+    search). Full SQL oracle (round-4): pinned per-vector list
+    assignments + per-query probe lists; DuckDB recomputes the exact
+    cosine top-10 over the probed lists (see q_knn_cosine_lsh; recall
+    vs brute force governed by n_probe —
     tests/test_ops.py::test_ivf_recall_vs_brute)."""
     emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = similarity.knn_cosine_ivf(emb, _query_vectors(sf_dir), k=10,
                                     n_lists=16, n_probe=4)
-    return out.select_columns(["query_id", "vec_id", "score"])
+    return out.select_columns(["query_id", "vec_id"])
 
 
 def q_embedding_cosine_pairs(sf_dir: str):
@@ -1131,11 +1152,11 @@ QUERIES = {
     "events_sessions": q_events_sessions,
     "simhash_pairs_docs": q_simhash_pairs_docs,
     "fingerprint_docs": q_fingerprint_docs,
-    # --- rows-only (no SQL oracle by design; golden-pinned in pytest) ---
     "minhash_clusters_docs": q_minhash_clusters_docs,
-    "keeper_report_docs": q_keeper_report_docs,
     "knn_cosine_lsh": q_knn_cosine_lsh,
     "knn_cosine_ivf": q_knn_cosine_ivf,
+    # --- rows-only (no SQL oracle by design; golden-pinned in pytest) ---
+    "keeper_report_docs": q_keeper_report_docs,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
 }
@@ -1750,5 +1771,93 @@ ORACLE_SQL = {
     "fingerprint_docs": """
         SELECT doc_id, fingerprint
         FROM read_parquet('/root/repo/tests/pinned_fingerprint_sf001.parquet')
+    """,
+    # The MinHash band hashes and the verify stage's 16-bit signature
+    # fold are PINNED (tools/pin_hashes.py; pin honesty pytest-enforced);
+    # DuckDB recomputes the PAIRING + CLUSTERING independently: exact
+    # sha-families (md5 partitions content identically), candidate pairs =
+    # band equality among family representatives (exact regime, no bucket
+    # truncation), verify = AVG(fold equality) >= 0.5 (the same fold the
+    # Ray verify compares, so the 2^-16 fold collision is on both sides),
+    # clusters = recursive-CTE min-label components over family ∪
+    # verified edges — equal to union-find over rep edges + family
+    # fold-in because each family rep is the min file_id of its family.
+    "minhash_clusters_docs": """
+        WITH RECURSIVE d AS (
+          SELECT source || '::doc' || CAST(doc_id AS VARCHAR) || '.txt'
+                   AS fid,
+                 md5(COALESCE(text, '')) AS fam
+          FROM documents),
+        rep AS (SELECT fam, MIN(fid) AS rep FROM d GROUP BY fam),
+        fam_edges AS (
+          SELECT r.rep AS src, x.fid AS dst
+          FROM d x JOIN rep r USING (fam) WHERE x.fid <> r.rep),
+        bands AS (SELECT * FROM read_parquet(
+            '/root/repo/tests/pinned_minhash_bands_sf001.parquet')),
+        f16 AS (SELECT * FROM read_parquet(
+            '/root/repo/tests/pinned_minhash_fold16_sf001.parquet')),
+        cand AS (
+          SELECT DISTINCT a.file_id AS src, b.file_id AS dst
+          FROM bands a
+          JOIN bands b ON a.band_id = b.band_id
+                      AND a.band_hash = b.band_hash
+                      AND a.file_id < b.file_id
+          JOIN rep ra ON ra.rep = a.file_id
+          JOIN rep rb ON rb.rep = b.file_id),
+        ver AS (
+          SELECT c.src, c.dst
+          FROM cand c
+          JOIN f16 sa ON sa.file_id = c.src
+          JOIN f16 sb ON sb.file_id = c.dst AND sb.pos = sa.pos
+          GROUP BY c.src, c.dst
+          HAVING AVG(CASE WHEN sa.val = sb.val THEN 1.0 ELSE 0.0 END)
+                 >= 0.5),
+        e AS (SELECT src, dst FROM fam_edges
+              UNION SELECT src, dst FROM ver),
+        sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        walk(node, lab) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT s.dst, w.lab FROM walk w JOIN sym s ON s.src = w.node)
+        SELECT node AS file_id, MIN(lab) AS cluster_id
+        FROM walk GROUP BY node
+    """,
+    # ANN oracles: the candidate SET (bucket codes / IVF list
+    # assignments + per-query probe sets) is pinned; DuckDB recomputes
+    # the exact cosine top-10 over the probed candidates independently.
+    "knn_cosine_lsh": """
+        WITH b AS (SELECT * FROM read_parquet(
+            '/root/repo/tests/pinned_annlsh_buckets_sf001.parquet')),
+        p AS (SELECT * FROM read_parquet(
+            '/root/repo/tests/pinned_annlsh_probes_sf001.parquet')),
+        q AS (SELECT vec_id AS qid, embedding AS qv
+              FROM embeddings WHERE vec_id < 5)
+        SELECT p.query_id AS query_id, e.vec_id AS vec_id
+        FROM p JOIN b ON b.bucket = p.bucket
+        JOIN embeddings e ON e.vec_id = b.vec_id
+        JOIN q ON q.qid = p.query_id
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY p.query_id
+            ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC,
+                     e.vec_id
+        ) <= 10
+    """,
+    "knn_cosine_ivf": """
+        WITH b AS (SELECT * FROM read_parquet(
+            '/root/repo/tests/pinned_ivf_lists_sf001.parquet')),
+        p AS (SELECT * FROM read_parquet(
+            '/root/repo/tests/pinned_ivf_probes_sf001.parquet')),
+        q AS (SELECT vec_id AS qid, embedding AS qv
+              FROM embeddings WHERE vec_id < 5)
+        SELECT p.query_id AS query_id, e.vec_id AS vec_id
+        FROM p JOIN b ON b.ivf_list = p.ivf_list
+        JOIN embeddings e ON e.vec_id = b.vec_id
+        JOIN q ON q.qid = p.query_id
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY p.query_id
+            ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC,
+                     e.vec_id
+        ) <= 10
     """,
 }

@@ -23,11 +23,13 @@ import pytest
 SF_DIR = "/root/testdata/sf0.01"
 
 GOLDEN = {
-    "minhash_clusters_docs": (47, "81ac95530711ca0dbaff555bb0e4a452"),
+    # simhash/fingerprint keep their goldens on top of their round-4 SQL
+    # oracles; minhash_clusters_docs / knn_cosine_lsh / knn_cosine_ivf
+    # graduated to full SQL oracles in round 4 (pinned bands/fold16 and
+    # bucket/list candidate sets; the driver checks them end-to-end) and
+    # left this list.
     "simhash_pairs_docs": (21, "2ec6e4937f7db52bf6d1933eb861ab05"),
     "fingerprint_docs": (500, "b45f46f11657f7b5803ece0aafc31cb4"),
-    "knn_cosine_lsh": (50, "112f577a77be4e1255284895a659950c"),
-    "knn_cosine_ivf": (50, "c246b541491a5dec9b42f799a0091a8c"),
     "media_features": (64, "46d48bb6d95b188bbfcc268622c16973"),
     "media_frames": (128, "515fa197faa8f8076271da6770745301"),
 }
@@ -75,3 +77,26 @@ def test_pinned_hash_parquets_match_fresh_compute():
     assert fp_t.equals(
         pq.read_table(os.path.join(here,
                                    "pinned_fingerprint_sf001.parquet")))
+
+
+def test_pinned_minhash_and_ann_parquets_match_fresh_compute():
+    """Pin honesty for the minhash_clusters_docs / knn_cosine_lsh /
+    knn_cosine_ivf SQL oracles: band hashes, 16-bit signature folds,
+    LSH bucket codes + probe sets and IVF list assignments + probe
+    lists must equal a fresh computation from the same kernels."""
+    import os
+    import pyarrow.parquet as pq
+    from tools.pin_hashes import build_ann_tables, build_minhash_tables
+
+    here = os.path.dirname(__file__)
+    bands_t, fold_t = build_minhash_tables(SF_DIR)
+    assert bands_t.equals(pq.read_table(
+        os.path.join(here, "pinned_minhash_bands_sf001.parquet")))
+    assert fold_t.equals(pq.read_table(
+        os.path.join(here, "pinned_minhash_fold16_sf001.parquet")))
+    lsh_t, lsh_p, ivf_t, ivf_p = build_ann_tables(SF_DIR)
+    for t, name in [(lsh_t, "pinned_annlsh_buckets_sf001.parquet"),
+                    (lsh_p, "pinned_annlsh_probes_sf001.parquet"),
+                    (ivf_t, "pinned_ivf_lists_sf001.parquet"),
+                    (ivf_p, "pinned_ivf_probes_sf001.parquet")]:
+        assert t.equals(pq.read_table(os.path.join(here, name))), name
