@@ -214,3 +214,61 @@ def add_normalized(batch: pa.Table, column: str = "text",
     if isinstance(norm, pa.ChunkedArray):
         norm = norm.combine_chunks()
     return batch.append_column(out, norm)
+
+
+def chunk_windows(batch: pa.Table, size: int = 256, overlap: int = 32,
+                  id_col: str = "doc_id",
+                  column: str = "text") -> pa.Table:
+    """Explode each document into fixed-size overlapping character
+    windows — the standard pre-tokenization chunking step of a training
+    pipeline (context-length packing, embedding-model input prep).
+
+    Output: ``(id_col, chunk_id:int64, chunk_text:string)`` with
+    ``chunk_id`` 0-based; window ``i`` covers code points
+    ``[i*stride, i*stride + size)`` where ``stride = size - overlap``;
+    the last window may be shorter; every document emits at least one
+    window (empty text → one empty chunk), so no rows are silently
+    dropped.
+
+    Fully vectorized: one ``utf8_length`` pass, then one
+    ``utf8_slice_codeunits`` C++ kernel per window INDEX (bounded by the
+    longest doc in the batch, each over only the still-alive rows) — no
+    Python over rows or characters. Code-point slicing matches SQL
+    ``substr``/``length`` semantics exactly, which the
+    ``chunk_docs`` DuckDB oracle relies on.
+    """
+    import pyarrow.compute as pc
+    if overlap >= size:
+        raise ValueError("chunk overlap must be < size")
+    stride = size - overlap
+    txt = pc.coalesce(batch.column(column),
+                      pa.scalar("", pa.string()))
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    ids = batch.column(id_col)
+    lens = pc.utf8_length(txt).to_numpy(zero_copy_only=False)
+    n_chunks = 1 + -(-np.maximum(lens - size, 0) // stride)
+    out_ids, out_cid, out_txt = [], [], []
+    max_n = int(n_chunks.max()) if len(n_chunks) else 0
+    for i in range(max_n):
+        alive = pa.array(n_chunks > i)
+        sl = pc.utf8_slice_codeunits(txt.filter(alive),
+                                     start=i * stride,
+                                     stop=i * stride + size)
+        out_ids.append(ids.filter(alive))
+        out_cid.append(pa.array(np.full(len(sl), i, np.int64)))
+        out_txt.append(sl)
+    id_type = batch.schema.field(id_col).type
+    if not out_ids:
+        return pa.table({id_col: pa.array([], id_type),
+                         "chunk_id": pa.array([], pa.int64()),
+                         "chunk_text": pa.array([], pa.string())})
+    return pa.table({
+        id_col: pa.concat_arrays([a.combine_chunks() if
+                                  isinstance(a, pa.ChunkedArray) else a
+                                  for a in out_ids]),
+        "chunk_id": pa.concat_arrays(out_cid),
+        "chunk_text": pa.concat_arrays(
+            [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+             for a in out_txt]),
+    })

@@ -365,6 +365,17 @@ def q_token_counts_docs(sf_dir: str):
     return docs.map_batches(f, batch_format="pyarrow")
 
 
+def q_chunk_docs(sf_dir: str):
+    """Fixed-size overlapping character-window chunking (size 256,
+    overlap 32) — the context-length packing / embedding-input prep
+    step of a training pipeline. Oracle: substr arithmetic in DuckDB
+    (code-point semantics match utf8_slice_codeunits exactly)."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(
+        lambda t: textfn.chunk_windows(t, size=256, overlap=32),
+        batch_format="pyarrow")
+
+
 def q_lang_stats_docs(sf_dir: str):
     """avg_chars is derived as one float division of the two exact int64
     aggregates (not a distributed Mean): identical summation on both engines
@@ -1138,6 +1149,7 @@ QUERIES = {
     "corpus_total_bytes": q_corpus_total_bytes,
     "zero_size_docs": q_zero_size_docs,
     "token_counts_docs": q_token_counts_docs,
+    "chunk_docs": q_chunk_docs,
     "lang_stats_docs": q_lang_stats_docs,
     "lang_guess_docs": q_lang_guess_docs,
     "knn_cosine": q_knn_cosine,
@@ -1670,6 +1682,21 @@ ORACLE_SQL = {
                CAST(array_length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
                    AS n_tokens_ws
         FROM documents
+    """,
+    # Window i covers code points [i*stride, i*stride+size), stride =
+    # size - overlap = 224; n_chunks = 1 + ceil(max(len-size,0)/stride)
+    # (>= 1, empty text -> one empty chunk). substr/length are
+    # code-point-based in DuckDB, matching utf8_slice_codeunits.
+    "chunk_docs": """
+        WITH t AS (SELECT doc_id, COALESCE(text, '') AS txt
+                   FROM documents),
+        n AS (SELECT doc_id, txt,
+                     CAST(1 + CEIL(GREATEST(length(txt) - 256, 0) / 224.0)
+                          AS BIGINT) AS nc
+              FROM t)
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+               substr(txt, CAST(i * 224 + 1 AS BIGINT), 256) AS chunk_text
+        FROM (SELECT doc_id, txt, unnest(range(0, nc)) AS i FROM n)
     """,
     "lang_stats_docs": """
         SELECT lang, COUNT(*) AS n_docs,

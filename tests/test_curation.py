@@ -77,3 +77,39 @@ def test_grouped_quantiles_matches_percentile_disc():
         FROM docs GROUP BY lang ORDER BY lang
     """).df().reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_chunk_windows_matches_duckdb_and_reconstructs():
+    from deduplicate_ray.functions.text import chunk_windows
+
+    texts = ["", None, "short", "x" * 256, "y" * 257,
+             "ünïcodé " * 40 + "tail",               # multi-byte chars
+             "a" * 1000, "word " * 123]
+    ids = list(range(len(texts)))
+    size, overlap, stride = 40, 8, 32
+    got = chunk_windows(pa.table({"doc_id": ids, "text": texts}),
+                        size=size, overlap=overlap).to_pandas() \
+        .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "text": texts}))
+    want = con.execute(f"""
+        WITH t AS (SELECT doc_id, COALESCE(text, '') AS txt
+                   FROM documents),
+        n AS (SELECT doc_id, txt,
+                     CAST(1 + CEIL(GREATEST(length(txt) - {size}, 0)
+                                   / {stride}.0) AS BIGINT) AS nc
+              FROM t)
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+               substr(txt, CAST(i * {stride} + 1 AS BIGINT), {size})
+                   AS chunk_text
+        FROM (SELECT doc_id, txt, unnest(range(0, nc)) AS i FROM n)
+        ORDER BY doc_id, chunk_id
+    """).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # reconstruction: chunk 0 + the post-overlap tail of every later
+    # chunk re-concatenates to the original text
+    for i, t in enumerate(texts):
+        chunks = got[got.doc_id == i].chunk_text.tolist()
+        rebuilt = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
+        assert rebuilt == (t or "")
