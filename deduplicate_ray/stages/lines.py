@@ -36,13 +36,17 @@ import ray.data as rd
 from deduplicate_ray.stages import joins
 
 
-def _exploded(t: pa.Table, id_col: str, text_col: str
+def _exploded(t: pa.Table, id_col: str, text_col: str,
+              delimiter: str = "\n"
               ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Vectorized line explode: (doc_idx, original_lines, trimmed_lines)
-    as numpy object arrays; doc_idx indexes into the batch."""
+    """Vectorized unit explode: (doc_idx, original_units, trimmed_units)
+    as numpy object arrays; doc_idx indexes into the batch.
+    ``delimiter`` picks the dedup granularity: "\n" = lines (default),
+    "\n\n" = paragraphs (the CCNet/RefinedWeb-style paragraph pass) —
+    any literal separator works, the split is one C++ kernel either way."""
     lines_list = pc.split_pattern(
         pc.fill_null(t.column(text_col).cast(pa.string()), ""),
-        pattern="\n")
+        pattern=delimiter)
     if isinstance(lines_list, pa.ChunkedArray):
         lines_list = lines_list.combine_chunks()
     flat = pc.list_flatten(lines_list)
@@ -55,13 +59,15 @@ def _exploded(t: pa.Table, id_col: str, text_col: str
 
 
 def line_counts(ds: rd.Dataset, id_col: str = "doc_id",
-                text_col: str = "text", min_docs: int = 2) -> rd.Dataset:
-    """Hot-line census: ``(line, n_docs)`` for every trimmed non-empty
-    line occurring in ≥ ``min_docs`` distinct docs."""
+                text_col: str = "text", min_docs: int = 2,
+                delimiter: str = "\n") -> rd.Dataset:
+    """Hot-unit census: ``(line, n_docs)`` for every trimmed non-empty
+    unit occurring in ≥ ``min_docs`` distinct docs (units = lines by
+    default; pass ``delimiter="\n\n"`` for paragraphs)."""
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
-        doc_idx, _, trimmed = _exploded(t, id_col, text_col)
+        doc_idx, _, trimmed = _exploded(t, id_col, text_col, delimiter)
         keep = trimmed != ""
         doc_idx, trimmed = doc_idx[keep], trimmed[keep]
         if doc_idx.size == 0:
@@ -88,12 +94,14 @@ def line_counts(ds: rd.Dataset, id_col: str = "doc_id",
 
 
 def strip_hot_lines(ds: rd.Dataset, id_col: str = "doc_id",
-                    text_col: str = "text", min_docs: int = 2
-                    ) -> rd.Dataset:
-    """Remove every line whose trimmed form occurs in ≥ ``min_docs``
-    distinct docs; other columns pass through, ``text_col`` is rewritten
-    (possibly to ``''`` when every line was boilerplate)."""
-    hot_rows = line_counts(ds, id_col, text_col, min_docs).take_all()
+                    text_col: str = "text", min_docs: int = 2,
+                    delimiter: str = "\n") -> rd.Dataset:
+    """Remove every unit (line / paragraph per ``delimiter``) whose
+    trimmed form occurs in ≥ ``min_docs`` distinct docs; other columns
+    pass through, ``text_col`` is rewritten (possibly to ``''`` when
+    every unit was boilerplate); survivors re-join with ``delimiter``."""
+    hot_rows = line_counts(ds, id_col, text_col, min_docs,
+                           delimiter).take_all()
     hot_h = np.sort(np.unique(joins.stable_hash(np.asarray(
         [r["line"] for r in hot_rows], dtype=object)).view(np.int64))) \
         if hot_rows else np.zeros(0, dtype=np.int64)
@@ -101,7 +109,7 @@ def strip_hot_lines(ds: rd.Dataset, id_col: str = "doc_id",
 
     def strip(t: pa.Table) -> pa.Table:
         hh = ray.get(hot_ref)
-        doc_idx, orig, trimmed = _exploded(t, id_col, text_col)
+        doc_idx, orig, trimmed = _exploded(t, id_col, text_col, delimiter)
         if doc_idx.size:
             h = joins.stable_hash(trimmed).view(np.int64)
             pos = np.searchsorted(hh, h)
@@ -112,7 +120,7 @@ def strip_hot_lines(ds: rd.Dataset, id_col: str = "doc_id",
             is_hot &= trimmed != ""     # empty lines are never stripped
             keep = ~is_hot
             joined = pd.Series(orig[keep]).groupby(
-                doc_idx[keep], sort=True).agg("\n".join)
+                doc_idx[keep], sort=True).agg(delimiter.join)
             texts = np.full(t.num_rows, "", dtype=object)
             texts[joined.index.to_numpy()] = joined.to_numpy()
         else:

@@ -102,3 +102,29 @@ def test_strip_noop_when_no_hot_lines():
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got[["doc_id", "text"]], df,
                                   check_dtype=False)
+
+
+def test_paragraph_granularity_census_and_strip():
+    """delimiter="\\n\\n" = paragraph-level dedup (CCNet/RefinedWeb-style):
+    census counts distinct docs per trimmed paragraph; strip removes hot
+    paragraphs whole, re-joining survivors with the blank-line separator."""
+    boiler = "Subscribe to our newsletter!\nFollow us."
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [f"intro zero\n\n{boiler}\n\nbody zero",
+                 f"{boiler}\n\nbody one",
+                 "body two only"]})
+    ds = rd.from_pandas(df)
+    census = lines.line_counts(ds, min_docs=2, delimiter="\n\n") \
+        .to_pandas()
+    assert census.line.tolist() == [boiler]
+    assert census.n_docs.tolist() == [2]
+    got = lines.strip_hot_lines(ds, min_docs=2, delimiter="\n\n") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got.text.tolist() == ["intro zero\n\nbody zero",
+                                 "body one", "body two only"]
+    # line-level default is unchanged by the parameterization: the
+    # boilerplate lines cross paragraph boundaries there
+    line_census = lines.line_counts(ds, min_docs=2).to_pandas()
+    assert set(line_census.line) == {"Subscribe to our newsletter!",
+                                     "Follow us."}
