@@ -508,6 +508,24 @@ def q_embedding_cosine_pairs(sf_dir: str):
     return _as_table(out, pa.schema([("src", pa.int64()), ("dst", pa.int64())]))
 
 
+def q_semdedup_embeddings(sf_dir: str):
+    """SemDeDup semantic dedup (Abbas et al. 2023): spherical-k-means
+    clusters over the embedding column, then within each cluster drop
+    every vector with cosine >= tau to a lower-id vector. Full SQL
+    oracle: the cluster assignment (the trained-quantizer artifact, same
+    pin pattern as knn_cosine_ivf) is pinned to parquet; DuckDB
+    independently recomputes the keep relation as
+    NOT EXISTS(earlier same-cluster row with list_cosine_similarity >=
+    tau). tau=0.35 is calibrated to the synthetic testdata embeddings
+    (max off-diagonal cosine ~0.51); production corpora use ~0.85+."""
+    from deduplicate_ray.stages import similarity
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = similarity.semdedup(emb, n_clusters=16, tau=0.35, seed=42)
+    return _as_table(out, pa.schema([
+        ("vec_id", pa.int64()), ("sem_cluster", pa.int64()),
+        ("keep", pa.bool_())]))
+
+
 # ---------------------------------------------------------------- relational
 
 def q_pricing_summary(sf_dir: str):
@@ -1167,6 +1185,7 @@ QUERIES = {
     "minhash_clusters_docs": q_minhash_clusters_docs,
     "knn_cosine_lsh": q_knn_cosine_lsh,
     "knn_cosine_ivf": q_knn_cosine_ivf,
+    "semdedup_embeddings": q_semdedup_embeddings,
     # --- rows-only (no SQL oracle by design; golden-pinned in pytest) ---
     "keeper_report_docs": q_keeper_report_docs,
     "media_features": q_media_features,
@@ -1886,5 +1905,25 @@ ORACLE_SQL = {
             ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC,
                      e.vec_id
         ) <= 10
+    """,
+    # semdedup: the cluster assignment (trained-quantizer artifact) is
+    # pinned; DuckDB recomputes the keep relation independently. Cosines
+    # are CAST to DOUBLE[] so both sides compute in float64 — the FLOAT[]
+    # kernel's float32 rounding could flip pairs that land within ~1e-7
+    # of the threshold.
+    "semdedup_embeddings": """
+        WITH a AS (SELECT * FROM read_parquet(
+            '/root/repo/tests/pinned_semdedup_clusters_sf001.parquet')),
+        e AS (SELECT a.vec_id, a.sem_cluster,
+                     CAST(emb.embedding AS DOUBLE[]) AS v
+              FROM a JOIN embeddings emb USING (vec_id))
+        SELECT e.vec_id AS vec_id, e.sem_cluster AS sem_cluster,
+               NOT EXISTS (
+                   SELECT 1 FROM e e2
+                   WHERE e2.sem_cluster = e.sem_cluster
+                     AND e2.vec_id < e.vec_id
+                     AND list_cosine_similarity(e2.v, e.v) >= 0.35
+               ) AS keep
+        FROM e
     """,
 }

@@ -172,6 +172,13 @@ def train_kmeans(sample: np.ndarray, n_lists: int, iters: int = 10,
     SAMPLE on the driver — the IVF training path of every public ANN
     system; assignment stays distributed."""
     s = _normalize(sample)
+    # canonicalize the sample ORDER: the caller's sample is gathered from
+    # Ray blocks whose arrival order is scheduling-dependent, and both the
+    # seeded init choice and (through it) every downstream assignment are
+    # order-sensitive — an unsorted sample makes the trained quantizer
+    # nondeterministic run-to-run (observed: same multiset, different
+    # order at 8 cpus). Lexsort by vector components pins it.
+    s = s[np.lexsort(s.T)]
     rng = np.random.Generator(np.random.PCG64(seed))
     n_lists = min(n_lists, len(s))
     cents = s[rng.choice(len(s), size=n_lists, replace=False)]
@@ -257,3 +264,73 @@ def knn_cosine_ivf(embeddings: rd.Dataset, queries: np.ndarray, k: int = 10,
 
     return local.groupby("query_id").map_groups(global_topk,
                                                 batch_format="pandas")
+
+
+def semdedup(embeddings: rd.Dataset, n_clusters: int = 16, tau: float = 0.85,
+             sample_size: int = 10_000, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             tile_rows: int = 100_000) -> rd.Dataset:
+    """SemDeDup semantic dedup (Abbas et al. 2023, arXiv:2303.09540 —
+    public): cluster the embedding space with spherical k-means, then
+    within each cluster drop every vector whose cosine similarity to a
+    LOWER-id vector of the same cluster reaches ``tau`` (the deterministic
+    keep-lowest-id variant of the paper's keep-one-per-duplicate-group
+    rule; dropped rows still suppress later rows, exactly the
+    ``EXISTS(earlier row with sim >= tau)`` relation the SQL oracle
+    recomputes). Returns ``(id_col, sem_cluster, keep)`` for every input
+    row. Reference analog: none — this is a beyond-reference LLM-curation
+    operator; the reference dedups byte-identical files only
+    (dupe_analysis.py hash cascade).
+
+    Scale contract: k-means trains on a bounded driver sample (the same
+    IVF recipe as :func:`knn_cosine_ivf`); assignment is one matmul per
+    batch against the broadcast centroid matrix; the only shuffle is the
+    groupby on ``sem_cluster``. Per-cluster work is all-pairs BY DESIGN
+    (the published algorithm) — ``n_clusters`` is the knob that bounds
+    cluster size to ~N/k rows per task. Skewed / oversized clusters are
+    processed in id-ordered tiles of ``tile_rows``: tile j is compared
+    against itself (upper triangle) and every earlier tile, so peak
+    memory is O(tile_rows * dim + tile_rows^2 * 0) — two tile matrices
+    and one (tile x tile) sim block — while preserving the lower-id rule
+    bit-for-bit.
+    """
+    sample_tbl = embeddings.limit(sample_size).select_columns([vec_col])
+    sample = np.concatenate([
+        _batch_matrix(b, vec_col)
+        for b in sample_tbl.iter_batches(batch_format="pyarrow",
+                                         batch_size=4096)])
+    cents = train_kmeans(sample, n_clusters, seed=seed)
+    assigned = ivf_assign(embeddings, cents, vec_col).map_batches(
+        lambda t: t.rename_columns(
+            [("sem_cluster" if c == "ivf_list" else c)
+             for c in t.column_names]),
+        batch_format="pyarrow")
+
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g[id_col].to_numpy(), kind="stable")
+        ids = g[id_col].to_numpy()[order]
+        vecs = _normalize(np.stack(g[vec_col].to_numpy()))[order]
+        n = len(ids)
+        keep = np.ones(n, dtype=bool)
+        for j0 in range(0, n, tile_rows):
+            j1 = min(j0 + tile_rows, n)
+            blk = vecs[j0:j1]
+            dropped = np.zeros(j1 - j0, dtype=bool)
+            for i0 in range(0, j1, tile_rows):
+                i1 = min(i0 + tile_rows, j1)
+                sims = vecs[i0:i1] @ blk.T          # (earlier-or-self, blk)
+                hit = sims >= tau
+                if i0 == j0:
+                    # same tile: only strictly-earlier rows count
+                    hit = np.triu(hit, k=1)
+                dropped |= hit.any(axis=0)
+            keep[j0:j1] = ~dropped
+        return pd.DataFrame({
+            id_col: ids,
+            "sem_cluster": np.full(n, g["sem_cluster"].iloc[0],
+                                   dtype=np.int64),
+            "keep": keep,
+        })
+
+    return assigned.groupby("sem_cluster").map_groups(
+        dedup_group, batch_format="pandas")

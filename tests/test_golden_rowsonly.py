@@ -100,3 +100,17 @@ def test_pinned_minhash_and_ann_parquets_match_fresh_compute():
                     (ivf_t, "pinned_ivf_lists_sf001.parquet"),
                     (ivf_p, "pinned_ivf_probes_sf001.parquet")]:
         assert t.equals(pq.read_table(os.path.join(here, name))), name
+
+
+def test_pinned_semdedup_clusters_match_fresh_compute():
+    """Pin honesty for the semdedup_embeddings SQL oracle: the pinned
+    cluster assignment must equal a fresh train+assign from the same
+    kernels (the keep relation itself is recomputed by DuckDB)."""
+    import os
+    import pyarrow.parquet as pq
+    from tools.pin_hashes import build_semdedup_table
+
+    here = os.path.dirname(__file__)
+    sem = build_semdedup_table(SF_DIR)
+    assert sem.equals(pq.read_table(
+        os.path.join(here, "pinned_semdedup_clusters_sf001.parquet")))

@@ -405,3 +405,47 @@ def test_ivf_recall_vs_brute():
         got_full.setdefault(r["query_id"], set()).add(r["vec_id"])
     assert all(got_full.get(q) == t for q, t in truth.items()), \
         "n_probe == n_lists must equal brute force"
+
+
+def test_semdedup_matches_bruteforce_and_tiling(ray_session):
+    """semdedup keep relation == brute-force 'exists earlier same-cluster
+    row with cosine >= tau' on a corpus with planted duplicates, and the
+    oversized-cluster tile path (tile_rows small) is bit-identical to the
+    single-tile path."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from deduplicate_ray.stages.similarity import _normalize, semdedup
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    base = rng.standard_normal((40, 16))
+    # plant near-dups: rows 40..59 are jittered copies of rows 0..19
+    dup = base[:20] + 0.01 * rng.standard_normal((20, 16))
+    vecs = np.concatenate([base, dup])
+    ids = np.arange(len(vecs), dtype=np.int64)
+    emb = rd.from_arrow(pa.table({
+        "vec_id": ids,
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32()))}))
+    out = semdedup(emb, n_clusters=4, tau=0.9, seed=1).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert len(out) == len(vecs)
+    assert (~out["keep"]).sum() > 0  # the planted dups must drop
+
+    # brute-force reference over the SAME cluster assignment
+    # (float32 storage round-trip first, like the pipeline sees)
+    v32 = vecs.astype(np.float32).astype(np.float64)
+    vn = _normalize(v32)
+    cl = out["sem_cluster"].to_numpy()
+    sims = vn @ vn.T
+    expect = np.ones(len(vecs), dtype=bool)
+    for j in range(len(vecs)):
+        earlier = (ids < ids[j]) & (cl == cl[j])
+        if earlier.any() and sims[earlier, j].max() >= 0.9:
+            expect[j] = False
+    assert np.array_equal(out["keep"].to_numpy(), expect)
+
+    tiled = semdedup(emb, n_clusters=4, tau=0.9, seed=1,
+                     tile_rows=3).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert tiled.equals(out)

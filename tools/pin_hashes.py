@@ -145,6 +145,30 @@ def build_ann_tables(sf_dir: str):
     return lsh_t, lsh_probes_t, ivf_t, ivf_probes_t
 
 
+def build_semdedup_table(sf_dir: str):
+    """(vec_id, sem_cluster) pin for the semdedup_embeddings oracle —
+    the trained-quantizer artifact, same recipe as the IVF pin: spherical
+    k-means (n_clusters=16 / seed 42) on the first-10k-rows sample in
+    file order, nearest-centroid assignment in float64. The KEEP relation
+    itself is recomputed independently by DuckDB (earlier-same-cluster
+    EXISTS over list_cosine_similarity)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from deduplicate_ray.stages.similarity import _normalize, train_kmeans
+
+    emb_t = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=["vec_id", "embedding"])
+    ids = np.asarray(emb_t.column("vec_id").to_pylist(), dtype=np.int64)
+    vecs = np.asarray(emb_t.column("embedding").combine_chunks().flatten(),
+                      dtype=np.float64).reshape(len(ids), -1)
+    cents = train_kmeans(vecs[:10_000], 16, seed=42)
+    clusters = np.argmax(_normalize(vecs) @ _normalize(cents).T, axis=1)
+    return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                     "sem_cluster": pa.array(clusters, pa.int64())})
+
+
 def main() -> None:
     import ray
 
@@ -174,6 +198,9 @@ def main() -> None:
         out_dir, "pinned_ivf_lists_sf001.parquet"))
     pq.write_table(ivf_p, os.path.join(
         out_dir, "pinned_ivf_probes_sf001.parquet"))
+    sem_t = build_semdedup_table(sf_dir)
+    pq.write_table(sem_t, os.path.join(
+        out_dir, "pinned_semdedup_clusters_sf001.parquet"))
     print(f"pinned {sim_t.num_rows} simhash rows, "
           f"{fp_t.num_rows} fingerprint rows, "
           f"{bands_t.num_rows} band rows, {fold_t.num_rows} fold rows, "
