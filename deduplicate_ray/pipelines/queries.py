@@ -50,8 +50,31 @@ def _t(sf_dir: str, name: str, columns=None, split: int = 0) -> rd.Dataset:
 
 
 def _add_md5(batch: pa.Table, col: str = "text", out: str = "text_md5") -> pa.Table:
-    hs = [hashlib.md5((t or "").encode()).hexdigest()
-          for t in batch.column(col).to_pylist()]
+    """md5 per row (DuckDB ``md5()`` oracle parity forces the digest
+    choice). Zero-copy over the Arrow buffers: hashlib is fed memoryview
+    slices of the data buffer directly — no ``to_pylist`` materialization,
+    no per-row str→bytes encode (the per-digest C call is the floor for a
+    cryptographic hash; content-identity paths that don't need md5 use the
+    vectorized sha/xx kernels in ``functions.hashing``)."""
+    arr = batch.column(col).combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.chunk(0) if arr.num_chunks else pa.array([], pa.string())
+    n = len(arr)
+    osize = 8 if pa.types.is_large_string(arr.type) else 4
+    odtype = np.int64 if osize == 8 else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=odtype, count=n + 1,
+                         offset=arr.offset * osize) if n else \
+        np.zeros(1, odtype)
+    data = memoryview(arr.buffers()[2]) if arr.buffers()[2] is not None \
+        else memoryview(b"")
+    md5 = hashlib.md5
+    hs = [md5(data[offs[i]:offs[i + 1]]).hexdigest() for i in range(n)]
+    if arr.null_count:  # null → md5("") like the (t or "") it replaces
+        empty = md5(b"").hexdigest()
+        nulls = np.flatnonzero(
+            ~np.asarray(pc.is_valid(arr).to_numpy(zero_copy_only=False)))
+        for i in nulls:
+            hs[i] = empty
     return batch.append_column(out, pa.array(hs, pa.string()))
 
 
