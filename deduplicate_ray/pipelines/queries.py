@@ -388,6 +388,24 @@ def q_token_counts_docs(sf_dir: str):
     return docs.map_batches(f, batch_format="pyarrow")
 
 
+def q_pack_shards_docs(sf_dir: str):
+    """Token-budget shard packing (distributed prefix sum): docs in id
+    order are laid into a concatenated whitespace-token stream; a doc
+    starting at offset p lands in training shard p // 1000. Oracle: one
+    SQL window cumulative sum."""
+    from deduplicate_ray.stages.packing import pack_shards
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        counts = [textfn.token_count_ws(t or "")
+                  for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "weight": pa.array(counts, pa.int64())})
+
+    return pack_shards(docs.map_batches(weigh, batch_format="pyarrow"),
+                       budget=1000)
+
+
 def q_chunk_docs(sf_dir: str):
     """Fixed-size overlapping character-window chunking (size 256,
     overlap 32) — the context-length packing / embedding-input prep
@@ -1209,6 +1227,7 @@ QUERIES = {
     "knn_cosine_lsh": q_knn_cosine_lsh,
     "knn_cosine_ivf": q_knn_cosine_ivf,
     "semdedup_embeddings": q_semdedup_embeddings,
+    "pack_shards_docs": q_pack_shards_docs,
     # --- rows-only (no SQL oracle by design; golden-pinned in pytest) ---
     "keeper_report_docs": q_keeper_report_docs,
     "media_features": q_media_features,
@@ -1948,5 +1967,16 @@ ORACLE_SQL = {
                      AND list_cosine_similarity(e2.v, e.v) >= 0.35
                ) AS keep
         FROM e
+    """,
+    "pack_shards_docs": """
+        WITH w AS (SELECT doc_id,
+            CAST(array_length(regexp_split_to_array(trim(text), '\\s+'))
+                 AS BIGINT) AS w
+            FROM documents)
+        SELECT doc_id,
+               (SUM(w) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - w) // 1000 AS shard
+        FROM w
     """,
 }

@@ -449,3 +449,28 @@ def test_semdedup_matches_bruteforce_and_tiling(ray_session):
                      tile_rows=3).to_pandas() \
         .sort_values("vec_id").reset_index(drop=True)
     assert tiled.equals(out)
+
+
+def test_pack_shards_matches_local_prefix_sum(ray_session):
+    """Distributed two-level prefix sum == a local cumsum, on a gapped
+    non-zero-based id space, across bucket counts (1 bucket = the
+    degenerate single-group path; 64 > n rows = every row its own
+    bucket range)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from deduplicate_ray.stages.packing import pack_shards
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    ids = np.sort(rng.choice(np.arange(1000, 9000), size=300,
+                             replace=False)).astype(np.int64)
+    w = rng.integers(0, 50, size=300).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "weight": w})) \
+        .repartition(8)
+    start = np.cumsum(w) - w
+    expect = start // 37
+    for nb in (1, 5, 64):
+        out = pack_shards(ds, budget=37, num_buckets=nb).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert np.array_equal(out["doc_id"].to_numpy(), ids), nb
+        assert np.array_equal(out["shard"].to_numpy(), expect), nb
