@@ -207,6 +207,15 @@ def near_dup_clusters(corpus: rd.Dataset, cfg: PipelineConfig | None = None,
     if cfg.checkpoint_dir:
         _pin(lambda: minhash.explode_bands(sigs, cfg), cfg, "bands")
 
+    # When the run needs no string-keyed edge artifact (no checkpoint to
+    # resume from, no substring-edge union), the modular plan keeps edges
+    # in int space END-TO-END: union-find min-label over lexicographic-rank
+    # ids selects the same representative as over file-id strings (see
+    # minhash.with_int_ids), and only the O(nodes) label table is
+    # translated back — the O(edges) string translate measured ~65 s at
+    # 3.6M rows and did not scale 8→32 (string-bandwidth-bound).
+    int_label_fids: list = []
+
     def _edges():
         # fused fast path (one narrow int shuffle, inline verify) while the
         # signature relation fits the broadcast budget; else the modular
@@ -243,6 +252,9 @@ def near_dup_clusters(corpus: rd.Dataset, cfg: PipelineConfig | None = None,
         _lap("mod:dedup")
         v = lsh.verify_pairs(d, sigs_int, cfg)
         _lap("mod:verify")
+        if not cfg.checkpoint_dir and not with_substring:
+            int_label_fids.append(fid_arr)
+            return v
         return lsh.translate_edges(v, fid_arr, cfg)
 
     # edges are always pinned (parquet checkpoint or object-store
@@ -264,6 +276,8 @@ def near_dup_clusters(corpus: rd.Dataset, cfg: PipelineConfig | None = None,
     _lap("edges")
     labels = unionfind.connected_components(
         edges, num_partitions=cfg.num_partitions)
+    if int_label_fids:
+        labels = lsh.translate_labels(labels, int_label_fids[0], cfg)
     rep_clusters = unionfind.clusters_table(labels)
     _lap("unionfind")
 

@@ -835,6 +835,54 @@ def translate_edges(edges: rd.Dataset, file_ids: pa.Array,
     return _swap(_swap(edges, "src", "_src_fid"), "dst", "_dst_fid")
 
 
+def translate_labels(labels: rd.Dataset, file_ids: pa.Array,
+                     cfg: PipelineConfig | None = None) -> rd.Dataset:
+    """Map an int-keyed union-find label table ``(node, label)`` back to
+    file-id strings — O(nodes) work where :func:`translate_edges` is
+    O(edges). Valid ONLY when ``file_ids`` came from
+    :func:`deduplicate_ray.stages.minhash.with_int_ids` (lexicographic-rank
+    ids, so the int min-label picked the same document as the string
+    min-label would have). Broadcast take under ``cfg.rep_broadcast_limit``;
+    bucketed-join fallback past it, same shape as translate_edges."""
+    cfg = cfg or PipelineConfig()
+    if labels.count() == 0:
+        return labels
+
+    if len(file_ids) <= cfg.rep_broadcast_limit:
+        from deduplicate_ray.stages.joins import _PROBE_CACHE
+        ref = ray.put(file_ids)
+
+        def tr(t: pa.Table) -> pa.Table:
+            fids = _PROBE_CACHE.get(ref.hex())
+            if fids is None:
+                if len(_PROBE_CACHE) > 8:
+                    _PROBE_CACHE.clear()
+                fids = _PROBE_CACHE.setdefault(ref.hex(), ray.get(ref))
+            return pa.table({
+                "node": fids.take(t.column("node").combine_chunks()),
+                "label": fids.take(t.column("label").combine_chunks())})
+
+        return labels.map_batches(tr, batch_format="pyarrow")
+
+    from deduplicate_ray.stages.joins import bucket_join
+    ids_arr = pa.array(np.arange(len(file_ids), dtype=np.int64), pa.int64())
+
+    def _swap_lbl(ds: rd.Dataset, key: str) -> rd.Dataset:
+        m = rd.from_arrow(pa.table({key: ids_arr, "_fid": file_ids}))
+        joined = bucket_join(ds, m, on=key, how="left",
+                             num_buckets=cfg.num_partitions)
+
+        def fix(t: pa.Table) -> pa.Table:
+            cols = {c: t.column(c) for c in t.schema.names
+                    if c not in (key, "_fid")}
+            cols[key] = t.column("_fid")
+            return pa.table(cols)
+
+        return joined.map_batches(fix, batch_format="pyarrow")
+
+    return _swap_lbl(_swap_lbl(labels, "node"), "label")
+
+
 def fused_candidate_edges(sigs: rd.Dataset, cfg: PipelineConfig | None = None,
                           broadcast_limit: int | None = None
                           ) -> rd.Dataset | None:

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -231,31 +232,39 @@ def band_hashes(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
 
 
 def with_int_ids(signatures: rd.Dataset) -> tuple[rd.Dataset, pa.Array]:
-    """Attach a dense ``int_id: int64`` (0..n-1 in block order) to a PINNED
-    signature relation.
+    """Attach a dense ``int_id: int64`` — the LEXICOGRAPHIC RANK of the
+    row's ``file_id`` — to a PINNED signature relation.
 
     Raw per-block tasks (the relation is already materialized, so block
-    order is stable for the run): one metadata pass for per-block row
-    counts, one pass appending ``int_id = offset + arange(n)``. Returns
-    ``(dataset, file_ids)`` where ``file_ids`` is the Arrow string array in
-    id order — ``file_ids[int_id]`` inverts the mapping (used by
-    :func:`deduplicate_ray.stages.lsh.translate_edges`).
+    order is stable for the run): one metadata pass gathering per-block
+    ``file_id`` columns, one driver ``sort_indices`` over the (narrow)
+    concatenated id column to compute ranks, one pass appending each
+    block's rank slice. Returns ``(dataset, file_ids)`` where ``file_ids``
+    is the Arrow string array in id order — ``file_ids[int_id]`` inverts
+    the mapping (used by :func:`deduplicate_ray.stages.lsh.translate_edges`
+    / ``translate_labels``).
 
-    Why: the modular LSH chain (bands → candidate pairs → dedup → verify)
-    moves each document key ~``lsh_bands`` times through the exchange and
-    every emitted pair twice more; carrying an 8-byte int instead of a
-    file-id string cuts that traffic several-fold and converts every
-    downstream hash/compare to int kernels. Ids are RUN-SCOPED (block-order
-    dependent), never checkpointed — on-disk artifacts (bands, edges) keep
-    real file ids.
+    Why ints: the modular LSH chain (bands → candidate pairs → dedup →
+    verify) moves each document key ~``lsh_bands`` times through the
+    exchange and every emitted pair twice more; carrying an 8-byte int
+    instead of a file-id string cuts that traffic several-fold and converts
+    every downstream hash/compare to int kernels.
+
+    Why RANK ids (not block-order): ``min(int_id)`` over any node set then
+    selects the same document as ``min(file_id)`` over the corresponding
+    string set, so union-find min-label propagation can run END-TO-END in
+    int space and only the final ``(node, label)`` table — O(nodes), not
+    O(edges) — is translated back (measured: translating the edge relation
+    itself cost ~65 s at 3.6M rows and did not scale 8→32, being
+    string-bandwidth-bound). Ids are RUN-SCOPED, never checkpointed —
+    on-disk artifacts (bands, edges) keep real file ids.
     """
     from deduplicate_ray.stages.exchange import _as_arrow_block
 
     @ray.remote
-    def add_ids(block, offset: int):
+    def add_ids(block, ranks: np.ndarray):
         t = _as_arrow_block(block)
-        ids = np.arange(offset, offset + t.num_rows, dtype=np.int64)
-        return t.append_column("int_id", pa.array(ids, pa.int64()))
+        return t.append_column("int_id", pa.array(ranks, pa.int64()))
 
     @ray.remote
     def fid_meta(block):
@@ -271,11 +280,17 @@ def with_int_ids(signatures: rd.Dataset) -> tuple[rd.Dataset, pa.Array]:
     metas = ray.get([fid_meta.remote(r) for r in refs])
     counts = [m[0] for m in metas]
     offsets = np.concatenate(([0], np.cumsum(counts)))
-    out_refs = [add_ids.remote(r, int(o))
-                for r, o in zip(refs, offsets[:-1])]
     fid_chunks = [m[1] for m in metas if m[0]]
-    file_ids = pa.concat_arrays(fid_chunks) if fid_chunks \
+    blk_fids = pa.concat_arrays(fid_chunks) if fid_chunks \
         else pa.array([], pa.string())
+    # lexicographic rank per row (one C++ sort over the narrow id column);
+    # file ids are unique so the rank is a bijection
+    order = pc.sort_indices(blk_fids).to_numpy(zero_copy_only=False)
+    rank = np.empty(len(blk_fids), dtype=np.int64)
+    rank[order] = np.arange(len(blk_fids), dtype=np.int64)
+    out_refs = [add_ids.remote(r, rank[int(o):int(o) + c])
+                for r, o, c in zip(refs, offsets[:-1], counts)]
+    file_ids = blk_fids.take(pa.array(order, pa.int64()))
     return rd.from_arrow_refs(out_refs), file_ids
 
 

@@ -41,10 +41,17 @@ DRIVER_EDGE_LIMIT = 2_000_000
 
 
 def _drop_anchor_rows(labels: rd.Dataset) -> rd.Dataset:
-    return labels.map_batches(
-        lambda t: t.filter(pc.invert(
-            pc.starts_with(t.column("node"), ANCHOR_PREFIX))),
-        batch_format="pyarrow")
+    def f(t: pa.Table) -> pa.Table:
+        # int-chain label tables (lexicographic-rank node ids) can carry
+        # no anchor pseudo-nodes — the int salting path bridges sub-buckets
+        # with real ids (stages/lsh.py) — so non-string tables pass through
+        if not pa.types.is_string(t.schema.field("node").type) and \
+                not pa.types.is_large_string(t.schema.field("node").type):
+            return t
+        return t.filter(pc.invert(
+            pc.starts_with(t.column("node"), ANCHOR_PREFIX)))
+
+    return labels.map_batches(f, batch_format="pyarrow")
 
 
 def driver_union_find(edge_rows: list[tuple[str, str]]) -> dict[str, str]:
@@ -70,14 +77,15 @@ def driver_union_find(edge_rows: list[tuple[str, str]]) -> dict[str, str]:
         size[ra] = size.get(ra, 1) + size.get(rb, 1)
         parent.setdefault(ra, ra)
 
-    # canonicalize to min member per component
-    comp_min: dict[str, str] = {}
+    # canonicalize to min member per component (type-agnostic: nodes may
+    # be file-id strings or the int-chain's lexicographic-rank ids)
+    comp_min: dict = {}
     nodes = set(parent)
     for a, b in edge_rows:
         nodes.add(a); nodes.add(b)
     for n in nodes:
         r = find(n)
-        if n < comp_min.get(r, "\U0010ffff"):
+        if r not in comp_min or n < comp_min[r]:
             comp_min[r] = n
     return {n: comp_min[find(n)] for n in nodes}
 
@@ -91,8 +99,11 @@ def _labels_checksum(labels: rd.Dataset) -> int:
 
     def hash_batch(t: pa.Table) -> pa.Table:
         import pandas as pd
-        joined = pd.Series(t.column("node").to_pandas()).str.cat(
-            t.column("label").to_pandas(), sep="\x00")
+        import pyarrow.compute as _pc
+        # int-chain labels arrive as int64 — cast to string for the probe
+        node_s = _pc.cast(t.column("node"), pa.string()).to_pandas()
+        label_s = _pc.cast(t.column("label"), pa.string()).to_pandas()
+        joined = pd.Series(node_s).str.cat(label_s, sep="\x00")
         hs = (stable_hash(joined.to_numpy()) >> np.uint64(1)).astype(np.int64)
         # one-row XOR partial per batch: XOR is order-independent and
         # CLOSED under int64, unlike SUM whose partials overflow int64 in

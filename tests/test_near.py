@@ -293,6 +293,11 @@ def test_with_int_ids_dense_and_invertible():
     fids = fid_arr.to_pylist()
     for r in rows:
         assert fids[r["int_id"]] == r["file_id"]
+    # rank-id invariant: id order IS lexicographic order, so integer
+    # min-label over any node set selects the same document as string
+    # min-label — the property the post-union-find label translation
+    # (lsh.translate_labels) relies on
+    assert fids == sorted(fids)
 
 
 def test_translate_edges_fallback_matches_broadcast():
