@@ -248,7 +248,8 @@ def near_dup_clusters(corpus: rd.Dataset, cfg: PipelineConfig | None = None,
                                 n_rows_hint=len(fid_arr) * cfg.lsh_bands)
         _lap("mod:candidates")
         d = lsh.dedup_edges(e, cfg.num_partitions,
-                            chunk_rows=cfg.exchange_chunk_rows)
+                            chunk_rows=cfg.exchange_chunk_rows,
+                            id_bound=len(fid_arr))
         _lap("mod:dedup")
         v = lsh.verify_pairs(d, sigs_int, cfg)
         _lap("mod:verify")

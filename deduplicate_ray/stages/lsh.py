@@ -482,12 +482,54 @@ def candidate_pairs(bands: rd.Dataset, cfg: PipelineConfig | None = None,
 
 
 def dedup_edges(edges: rd.Dataset, num_partitions: int = 16,
-                chunk_rows: int | None = None) -> rd.Dataset:
+                chunk_rows: int | None = None,
+                id_bound: int | None = None) -> rd.Dataset:
     """Collapse multi-band duplicates of the same pair: hash-exchange on
     the pair key and ``drop_duplicates`` per partition. Uses the raw-task
     exchange (``stages.exchange``) — Ray's sort-based groupby spent 14.3 s
-    sorting a 3.2M-pair relation whose per-partition dedup is <1 s."""
+    sorting a 3.2M-pair relation whose per-partition dedup is <1 s.
+
+    ``id_bound``: when the caller knows ids are dense ints below 2^32
+    (the compact chain passes its corpus size), each pair is PACKED into
+    one uint64 before the exchange — the duplicated pair relation is the
+    single largest exchange of the modular plan (a pair recurs from
+    ~O(bands) buckets), so halving its bytes halves the dominant shuffle,
+    and the per-partition distinct becomes one flat ``np.unique``."""
     n_parts = num_partitions * 4
+
+    if id_bound is not None and 0 < id_bound <= 2**32:
+        def pack(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "src" not in t.schema.names:
+                return pa.table({"pk": pa.array([], pa.uint64())})
+            src = t.column("src").combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            dst = t.column("dst").combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            pk = (src.astype(np.uint64) << np.uint64(32)) \
+                | dst.astype(np.uint64)
+            return pa.table({"pk": pa.array(pk, pa.uint64())})
+
+        def part_fn_pk(t: pa.Table) -> np.ndarray:
+            pk = t.column("pk").combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            return (stable_hash(pk) % np.uint64(n_parts)).astype(np.int64)
+
+        def unpack_unique(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "pk" not in t.schema.names:
+                return pa.table({"src": pa.array([], pa.int64()),
+                                 "dst": pa.array([], pa.int64())})
+            pk = np.unique(t.column("pk").combine_chunks()
+                           .to_numpy(zero_copy_only=False))
+            return pa.table({
+                "src": pa.array((pk >> np.uint64(32)).astype(np.int64)),
+                "dst": pa.array((pk & np.uint64(0xFFFFFFFF))
+                                .astype(np.int64))})
+
+        from deduplicate_ray.stages.exchange import exchange
+        return exchange(
+            edges.select_columns(["src", "dst"]).map_batches(
+                pack, batch_format="pyarrow"),
+            part_fn_pk, unpack_unique, n_parts, chunk_rows=chunk_rows)
 
     def part_fn(t: pa.Table) -> np.ndarray:
         src = t.column("src").combine_chunks().to_numpy(zero_copy_only=False)

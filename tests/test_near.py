@@ -362,3 +362,20 @@ def test_minhash_estimator_unbiased_over_many_pairs():
     se = 0.045 / np.sqrt(len(errs))   # sigma <= 0.5/sqrt(128) ~ 0.044
     assert abs(errs.mean()) < 3 * se, errs.mean()
     assert errs.std() < 0.08, errs.std()
+
+
+def test_dedup_edges_packed_matches_unpacked():
+    """The packed-uint64 dedup exchange (id_bound set) must emit exactly
+    the unpacked plan's distinct pairs, across chunked and whole-partition
+    reduce modes."""
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 500, size=4000).astype(np.int64)
+    dst = rng.integers(0, 500, size=4000).astype(np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(6)
+    base = sorted((r["src"], r["dst"]) for r in
+                  lsh.dedup_edges(edges, 4).take_all())
+    for chunk in (None, 128):
+        packed = sorted((r["src"], r["dst"]) for r in
+                        lsh.dedup_edges(edges, 4, chunk_rows=chunk,
+                                        id_bound=500).take_all())
+        assert packed == base, chunk
