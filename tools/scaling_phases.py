@@ -31,8 +31,9 @@ def run_level(ncpu: int, rows: int) -> tuple[float, dict[str, float]]:
     if out.returncode != 0:
         raise RuntimeError(f"level {ncpu} failed:\n{out.stderr[-2000:]}")
     phases: dict[str, float] = {}
-    for m in re.finditer(r"\[dedup-phase\] ([^:]+(?::[^:]+)?): ([\d.]+)s",
-                         out.stdout):
+    for m in re.finditer(
+            r"\[dedup-phase\] ([^:\n]+(?::[^:\n]+)?): ([\d.]+)s",
+            out.stdout):
         phases[m.group(1)] = phases.get(m.group(1), 0.0) + float(m.group(2))
     total = None
     for line in out.stdout.splitlines():
