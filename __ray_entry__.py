@@ -36,9 +36,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query (same output column names); pipelines
-    with no SQL analog (MinHash/LSH clustering, SimHash, fingerprints,
-    approximate ANN, multimodal stubs) are intentionally absent →
-    rows-only check (several of those carry pinned-golden tests instead)."""
+    """DuckDB-equivalent SQL per query (same output column names). Since
+    round 4 the MinHash/SimHash/fingerprint/ANN pipelines carry real
+    oracles too (DuckDB recomputes pairing/bucketing over pinned
+    relations under tests/pinned_*); only the reference-parity keeper
+    report and the multimodal stubs are intentionally absent →
+    rows-only check, golden-pinned in tests/test_golden_rowsonly.py."""
     from deduplicate_ray.pipelines.queries import ORACLE_SQL
     return dict(ORACLE_SQL)
