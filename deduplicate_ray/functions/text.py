@@ -44,9 +44,26 @@ def token_count_bpeish(text: str) -> int:
     return len(_BPEISH.findall(text))
 
 
+def token_count_ws_column(col) -> pa.Array:
+    """Vectorized :func:`token_count_ws` over an Arrow string column —
+    one RE2 pass instead of a Python loop per row. Identity used:
+    tokens = 1 + (number of internal whitespace runs in the trimmed
+    text); empty/all-space/null counts 1 (the empty token), matching
+    both the scalar kernel and the DuckDB oracle. Parity with the
+    scalar is pinned by ``tests/test_text.py::test_token_count_ws_column_parity``."""
+    import pyarrow.compute as pc
+    filled = pc.fill_null(col, "")
+    trimmed = pc.utf8_trim_whitespace(filled)
+    runs = pc.count_substring_regex(trimmed, r"\s+")
+    out = pc.add(pc.cast(runs, pa.int64()), pa.scalar(1, pa.int64()))
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    return out
+
+
 def add_token_counts(batch: pa.Table, column: str = "text") -> pa.Table:
+    ws = token_count_ws_column(batch.column(column))
     texts = [(t or "") for t in batch.column(column).to_pylist()]
-    ws = pa.array([token_count_ws(t) for t in texts], pa.int64())
     bp = pa.array([token_count_bpeish(t) for t in texts], pa.int64())
     return batch.append_column("n_tokens_ws", ws) \
                 .append_column("n_tokens_bpeish", bp)

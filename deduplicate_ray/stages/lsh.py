@@ -891,15 +891,11 @@ def translate_labels(labels: rd.Dataset, file_ids: pa.Array,
         return labels
 
     if len(file_ids) <= cfg.rep_broadcast_limit:
-        from deduplicate_ray.stages.joins import _PROBE_CACHE
+        from deduplicate_ray.stages.joins import _cached_value_set
         ref = ray.put(file_ids)
 
         def tr(t: pa.Table) -> pa.Table:
-            fids = _PROBE_CACHE.get(ref.hex())
-            if fids is None:
-                if len(_PROBE_CACHE) > 8:
-                    _PROBE_CACHE.clear()
-                fids = _PROBE_CACHE.setdefault(ref.hex(), ray.get(ref))
+            fids = _cached_value_set(ref)
             return pa.table({
                 "node": fids.take(t.column("node").combine_chunks()),
                 "label": fids.take(t.column("label").combine_chunks())})

@@ -53,6 +53,11 @@ def pack_shards(weighted: rd.Dataset, budget: int, id_col: str = "doc_id",
     ~16 bytes/row; 100M rows in one bucket is still a 1.6 GB task.
     """
     bounds = weighted.aggregate(Min(id_col), Max(id_col))
+    if not bounds or bounds.get(f"min({id_col})") is None:
+        # empty input: no rows, no shards — return an empty (id, shard)
+        # table with the right schema instead of crashing on the bounds
+        return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64()),
+                                       "shard": pa.array([], pa.int64())}))
     lo, hi = int(bounds[f"min({id_col})"]), int(bounds[f"max({id_col})"])
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -67,10 +72,14 @@ def pack_shards(weighted: rd.Dataset, budget: int, id_col: str = "doc_id",
     def partial(t: pa.Table) -> pa.Table:
         b = t.column("bucket").to_numpy(zero_copy_only=False)
         w = t.column(weight_col).to_numpy(zero_copy_only=False)
-        tot = np.bincount(b, weights=w, minlength=num_buckets)
+        # int64 accumulation (np.bincount(weights=...) sums in float64,
+        # exact only below 2^53 — bucket token totals at corpus scale
+        # would silently lose precision)
+        tot = np.zeros(num_buckets, dtype=np.int64)
+        np.add.at(tot, b.astype(np.int64), w.astype(np.int64))
         nz = np.flatnonzero(tot)
         return pa.table({"bucket": pa.array(nz, pa.int64()),
-                         "partial": pa.array(tot[nz].astype(np.int64))})
+                         "partial": pa.array(tot[nz])})
 
     totals_rows = bucketed.map_batches(partial, batch_format="pyarrow") \
         .groupby("bucket").aggregate(Sum("partial", alias_name="total")) \

@@ -24,6 +24,21 @@ def test_token_count_ws_matches_sql_semantics():
     assert textfn.token_count_ws("one") == 1
 
 
+def test_token_count_ws_column_parity():
+    """Vectorized RE2 column kernel == the scalar Python kernel on every
+    oracle-relevant shape (empty, all-space, tabs/newlines, nulls →
+    md5('')-style empty semantics, unicode text with ASCII whitespace)."""
+    texts = ["a  b\tc", "  hello  ", "", "one", "a\nb\r\nc d", "   ",
+             "x", "naïve café  über", "a" * 500 + " b", None]
+    col = pa.chunked_array([pa.array(texts[:4], pa.string()),
+                            pa.array(texts[4:], pa.string())])
+    out = textfn.token_count_ws_column(col).to_pylist()
+    expect = [textfn.token_count_ws(t or "") for t in texts]
+    assert out == expect
+    assert textfn.token_count_ws_column(
+        pa.array([], pa.large_string())).to_pylist() == []
+
+
 def test_quality_and_lang_guess():
     an = textfn.TextAnalyzer()
     assert an.guess_lang("the cat and the dog of a house is that it") == "en"
@@ -474,3 +489,17 @@ def test_pack_shards_matches_local_prefix_sum(ray_session):
             .sort_values("doc_id").reset_index(drop=True)
         assert np.array_equal(out["doc_id"].to_numpy(), ids), nb
         assert np.array_equal(out["shard"].to_numpy(), expect), nb
+
+
+def test_pack_shards_empty_input(ray_session):
+    """Empty (id, weight) input → empty (id, shard) output with the right
+    schema, not a crash on the Min/Max bounds aggregate."""
+    import pyarrow as pa
+    import ray.data as rd
+    from deduplicate_ray.stages.packing import pack_shards
+
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "weight": pa.array([], pa.int64())}))
+    out = pack_shards(ds, budget=100)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"doc_id", "shard"}

@@ -10,7 +10,11 @@ cosine top-k over the pinned LSH-bucket / IVF-list probe sets; see
 ORACLE_SQL); only the hash/bucketing kernels themselves are pinned
 here. A pytest test (tests/test_golden_rowsonly.py) recomputes every
 pin from the testdata each run, so a kernel change fails loud instead
-of silently shifting the oracle.
+of silently shifting the oracle. The pinned kernels are additionally
+verified bit-equal against NAIVE pure-Python reimplementations sharing
+no code with production (tests/test_kernel_parity.py) — closing the
+"engine pins its own hashes" circularity: a kernel bug that shifted
+engine and pin equally would still fail the independent recompute.
 
 Usage: python tools/pin_hashes.py [sf_dir] [out_dir]
 """
