@@ -11,6 +11,13 @@ Prints ONE JSON line:
   {"metric": "full_dedup_sec", "value": N, "unit": "sec",
    "queries": {...}, "sf": S, "num_cpus": N, "files_per_sec": F}
 
+Headline protocol: min of TWO runs in FRESH processes (own ray.init
+each — the same protocol --scaling uses), because a slow neighbor-load
+epoch poisons a whole Ray session: two in-process repeats share the
+epoch and report a tight-but-wrong spread (r04: 34.4 s with 0.3 s
+spread in one session, 28.7 s in an independent session, same build).
+run_spread_sec reports |run1 - run2| across the fresh processes.
+
 --scaling: runs the headline in fresh processes at num_cpus=2, 8 and 32
 (the sandbox stand-in for N vs 4N cluster nodes) — two interleaved passes,
 min per level — reports throughput at each level plus the (2,8) and
@@ -92,34 +99,67 @@ def run_queries(sf_dir: str) -> dict:
     return out
 
 
+def _run_leaf(n_rows: int) -> dict:
+    """One headline run in a FRESH process (own ray.init), JSON back."""
+    env = dict(os.environ, DEDUP_BENCH_ONCE="1",
+               DEDUP_BENCH_ROWS=str(n_rows))
+    proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                          env=env, capture_output=True, text=True,
+                          cwd=os.path.dirname(os.path.abspath(__file__)))
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-8000:])
+        raise RuntimeError(f"headline leaf run failed (exit "
+                           f"{proc.returncode}); stderr above")
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
 def main() -> None:
     import ray
-    if not ray.is_initialized():
-        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-                 logging_level="ERROR")
-    from ray.data import DataContext
-    DataContext.get_current().enable_progress_bars = False
 
     sf = _sf_of(SF_DIR)
     # 4M rows/sf: sized so parallel compute dominates the fixed per-stage
     # barrier latency (~15-20 s) at every measured parallelism level
     n_rows = int(os.environ.get("DEDUP_BENCH_ROWS", "0")) \
         or max(2000, int(4_000_000 * sf))
-    # best-of-2: identical back-to-back headline runs on this shared box
-    # differ by up to ~50% with neighbor load (BASELINE.md measurement
-    # noise); the min is the stable estimator of the pipeline's cost
-    head = run_headline(n_rows)
+    # min-of-2 in FRESH processes (same protocol as --scaling): identical
+    # back-to-back runs on this shared box differ by up to ~50% with
+    # neighbor load, and a slow epoch poisons a whole Ray session — two
+    # in-process repeats share the epoch, two fresh processes don't. The
+    # min is the stable estimator of the pipeline's cost (r04 lesson: the
+    # in-process pair recorded 34.4 s with 0.3 s spread while an
+    # independent session measured 28.7 s on the same build).
     if os.environ.get("DEDUP_BENCH_ONCE") == "1":
-        head_noise = 0.0          # --scaling interleaves its own repeats
-    else:
-        head2 = run_headline(n_rows)
-        head_noise = round(abs(head2["sec"] - head["sec"]), 3)
-        if head2["sec"] < head["sec"]:
-            head = head2
-    # --scaling levels measure the headline ratio only: the per-query
-    # bench is irrelevant there and costs minutes at the 2-cpu level
-    queries = {} if os.environ.get("DEDUP_BENCH_ONCE") == "1" \
-        else run_queries(SF_DIR)
+        if not ray.is_initialized():
+            ray.init(address="local", num_cpus=NUM_CPUS,
+                     include_dashboard=False, logging_level="ERROR")
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+        head = run_headline(n_rows)
+        head_noise = 0.0          # the parent/--scaling owns the repeats
+        print(json.dumps({
+            "metric": "full_dedup_sec", "value": round(head["sec"], 3),
+            "unit": "sec", "queries": {}, "sf": sf, "num_cpus": NUM_CPUS,
+            "files_per_sec": round(head["files_per_sec"], 1),
+            "rows": head["rows"], "clustered_rows": head["clustered_rows"],
+            "run_spread_sec": head_noise}))
+        ray.shutdown()
+        return
+
+    bench_corpus_path(n_rows)     # build the cached corpus once, untimed
+    r1 = _run_leaf(n_rows)
+    r2 = _run_leaf(n_rows)
+    head_noise = round(abs(r2["value"] - r1["value"]), 3)
+    leaf = r1 if r1["value"] <= r2["value"] else r2
+    head = {"sec": leaf["value"], "rows": leaf["rows"],
+            "clustered_rows": leaf["clustered_rows"],
+            "files_per_sec": leaf["files_per_sec"]}
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    queries = run_queries(SF_DIR)
     print(json.dumps({
         "metric": "full_dedup_sec",
         "value": round(head["sec"], 3),

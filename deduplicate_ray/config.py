@@ -122,6 +122,15 @@ class PipelineConfig:
     #: candidate_pairs → joined verify). Tests set 0 to force the scale
     #: path end-to-end.
     broadcast_limit: int = 500_000
+    #: Broadcast budget (docs) for the POST-PRUNE verify matrix
+    #: specifically. Wider than broadcast_limit because the broadcast
+    #: state is the 16-bit-FOLDED signature matrix — 256 B/row vs ~1 KB/row
+    #: of raw uint64 signatures — and it lives ONCE in the shared object
+    #: store, read zero-copy by every worker (the per-worker copy that
+    #: used to bound this gate is gone; see verify_fn's warm-touch note).
+    #: 2M rows = 512 MB of plasma. Ignored (treated as 0) whenever
+    #: broadcast_limit is 0 so tests can still force the scale path.
+    verify_broadcast_limit: int = 2_000_000
     #: Broadcast budget (rep ids) for the Stage-1 representative FILTER.
     #: Deliberately much higher than the narrow-join broadcast limits:
     #: the alternative plan semi-joins the content-carrying relation,

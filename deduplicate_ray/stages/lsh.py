@@ -573,6 +573,15 @@ def verify_pairs(edges: rd.Dataset, signatures: rd.Dataset,
     cfg = cfg or PipelineConfig()
     if broadcast_limit is None:
         broadcast_limit = cfg.broadcast_limit
+        # the post-prune broadcast state is the 16-bit-folded matrix
+        # (256 B/row, plasma-shared, zero-copy per worker) — a wider gate
+        # applies to it than to raw-signature driver state; an explicit
+        # broadcast_limit argument (tests) or broadcast_limit=0 (forced
+        # scale path) pins both gates together
+        verify_limit = max(broadcast_limit, cfg.verify_broadcast_limit) \
+            if broadcast_limit > 0 else 0
+    else:
+        verify_limit = broadcast_limit
     if cfg.verify_threshold <= 0:
         return edges.map_batches(
             lambda t: t.append_column(
@@ -596,6 +605,9 @@ def verify_pairs(edges: rd.Dataset, signatures: rd.Dataset,
         edges = edges.materialize()   # consumed twice: endpoints + verify
         _lap("verify:pin-edges")
         n_edges = edges.count()       # metadata-only on the pinned relation
+        import os as _os
+        if _os.environ.get("DEDUP_RAY_PHASES") == "1":
+            print(f"[dedup-phase] verify:n_edges={n_edges}", flush=True)
         if n_edges <= _DRIVER_ENDPOINT_LIMIT:
             # endpoint distinct straight off the pinned edge blocks: one
             # driver concat + C++ unique (sub-second at millions of edges)
@@ -647,7 +659,12 @@ def verify_pairs(edges: rd.Dataset, signatures: rd.Dataset,
                 signatures, joins.distinct_keys(ends, "file_id"), "file_id",
                 num_partitions=cfg.num_partitions).materialize()
         _lap("verify:prune")
-        return verify_pairs(edges, pruned, cfg, broadcast_limit,
+        if _os.environ.get("DEDUP_RAY_PHASES") == "1":
+            print(f"[dedup-phase] verify:n_pruned_sigs={pruned.count()}",
+                  flush=True)
+        # recurse under the WIDER folded-matrix gate: the pruned relation
+        # broadcasts as uint16 (256 B/row), not raw signatures
+        return verify_pairs(edges, pruned, cfg, verify_limit,
                             _pruned=True)
     if n_sigs <= broadcast_limit:
         # xor-fold each 64-bit minhash component to 16 bits for the
@@ -705,16 +722,32 @@ def verify_pairs(edges: rd.Dataset, signatures: rd.Dataset,
             import pyarrow.compute as _pc
             state = _VERIFY_CACHE.get(ref.hex())
             if state is None:
+                import os as _os2
+                import time as _time2
+                _t0 = _time2.perf_counter()
                 ids_, mat_ = ray.get(ref)
-                # copy the (folded, ~80 MB) matrix out of the plasma
-                # mapping into the worker heap: random row-gathers
-                # against the shared zero-copy mapping page-fault badly;
-                # the sequential copy is cheap and amortizes across all
-                # of this worker's batches
-                mat_ = np.array(mat_, copy=True)
+                # WARM the shared plasma mapping sequentially instead of
+                # copying it into the worker heap: one touch per 4 KB page
+                # makes every page resident in the (process-SHARED) page
+                # cache, after which random row-gathers are plain memory
+                # reads for every worker. The earlier per-worker
+                # np.array(copy=True) duplicated the matrix N_workers
+                # times through one memory bus — measured 96-98 s PER
+                # WORKER at a 512 MB folded matrix under 23-way
+                # concurrency vs 0.05 s for the warm touch (the whole
+                # verify map: 102 s copy-mode vs 2.0 s warm-mode) — the
+                # round-4 "constant-in-N" verify seconds were exactly
+                # this contention.
+                mv = np.asarray(mat_)
+                if mv.size:
+                    stride = max(1, 4096 // max(mv.strides[0], 1) // 2)
+                    int(mv[::stride, 0].sum())   # touch every page
                 state = (ids_, mat_)
                 _VERIFY_CACHE.clear()   # one live verify set per worker
                 _VERIFY_CACHE[ref.hex()] = state
+                if _os2.environ.get("DEDUP_RAY_PHASES") == "1":
+                    print(f"[dedup-phase] verify:worker-setup="
+                          f"{_time2.perf_counter() - _t0:.2f}s", flush=True)
             ids_, m = state
             n = batch.num_rows
             if n == 0:

@@ -15,11 +15,15 @@
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
+
+logger = logging.getLogger(__name__)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -269,7 +273,8 @@ def knn_cosine_ivf(embeddings: rd.Dataset, queries: np.ndarray, k: int = 10,
 def semdedup(embeddings: rd.Dataset, n_clusters: int = 16, tau: float = 0.85,
              sample_size: int = 10_000, seed: int = 42,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             tile_rows: int = 100_000) -> rd.Dataset:
+             tile_rows: int = 100_000,
+             warn_cluster_rows: int = 200_000) -> rd.Dataset:
     """SemDeDup semantic dedup (Abbas et al. 2023, arXiv:2303.09540 —
     public): cluster the embedding space with spherical k-means, then
     within each cluster drop every vector whose cosine similarity to a
@@ -293,7 +298,28 @@ def semdedup(embeddings: rd.Dataset, n_clusters: int = 16, tau: float = 0.85,
     memory is O(tile_rows * dim + tile_rows^2 * 0) — two tile matrices
     and one (tile x tile) sim block — while preserving the lower-id rule
     bit-for-bit.
+
+    SIZING RULE (load-bearing at corpus scale): total compute is
+    O(N^2 / n_clusters) dot products, so ``n_clusters`` must GROW with N —
+    set ``n_clusters ~= N / target_cluster_rows`` with target_cluster_rows
+    in the 10k-100k range (the paper's ImageNet config is ~50k rows per
+    cluster). The default 16 is a small-data/test setting; a warning is
+    logged whenever the projected MEAN cluster size N / n_clusters exceeds
+    ``warn_cluster_rows``, because e.g. 1B rows into 16 clusters is
+    ~4e15 dot products per cluster task — unrunnable, and silently so
+    without the guard.
     """
+    n_total = embeddings.count()   # metadata-only on parquet/pinned inputs
+    mean_cluster = n_total / max(n_clusters, 1)
+    if mean_cluster > warn_cluster_rows:
+        logger.warning(
+            "semdedup: n_clusters=%d projects a MEAN cluster of ~%d rows "
+            "over %d inputs — per-cluster all-pairs is O(rows^2), so this "
+            "run will do ~%.2g dot products per average cluster. Raise "
+            "n_clusters to ~N/target_cluster_rows (e.g. %d for 50k-row "
+            "clusters); see the sizing rule in the docstring.",
+            n_clusters, int(mean_cluster), n_total, mean_cluster ** 2 / 2,
+            max(1, n_total // 50_000))
     sample_tbl = embeddings.limit(sample_size).select_columns([vec_col])
     sample = np.concatenate([
         _batch_matrix(b, vec_col)

@@ -283,20 +283,16 @@ def _window_hashes(buf: np.ndarray, w: int) -> np.ndarray:
     return pref[w:] - pref[:-w] * bpow[w]
 
 
-def _batch_anchors(contents: list[str], w: int,
-                   gap: int) -> tuple[np.ndarray, np.ndarray]:
-    """All anchor windows across a batch of docs (computed over ONE
-    concatenated buffer; windows crossing doc boundaries are masked out).
-    Returns (doc_idx, key) — anchors in ascending position order, so the
-    first anchor of doc d is its first occurrence in doc_idx."""
-    enc = [c.encode() for c in contents]
-    lens = np.asarray([len(e) for e in enc], np.int64)
-    buf = np.frombuffer(b"".join(enc), np.uint8)
+def _anchors_from_stream(buf: np.ndarray, ends: np.ndarray, w: int,
+                         gap: int) -> tuple[np.ndarray, np.ndarray]:
+    """Anchor windows over a pre-concatenated uint8 byte stream with
+    per-doc end offsets (windows crossing doc boundaries are masked
+    out). Returns (doc_idx, key) — anchors in ascending position order,
+    so the first anchor of doc d is its first occurrence in doc_idx."""
     h = _window_hashes(buf, w)
     if h.size == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.uint64)
     keys = _mix64(h)
-    ends = np.cumsum(lens)
     pos = np.flatnonzero(keys % np.uint64(gap) == 0)
     d = np.searchsorted(ends, pos, side="right")
     valid = pos + w <= ends[d]          # window fully inside its doc
@@ -304,12 +300,72 @@ def _batch_anchors(contents: list[str], w: int,
     return d, keys[pos]
 
 
+def _col_stream(col, rows: np.ndarray | None = None
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """(uint8 byte stream, per-doc end offsets) of a string column —
+    the zero-copy replacement for per-row ``.as_py()`` + ``encode()`` +
+    ``join``: Arrow strings ARE utf-8, so the column's data buffer is
+    already the concatenated byte stream. One vectorized ``take`` when a
+    row subset is given (the compacted result's data buffer is exactly
+    the subset's stream); nulls read as empty docs."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(arr, pa.ChunkedArray):        # 0-chunk edge case
+        arr = pa.concat_arrays(arr.chunks) if arr.num_chunks \
+            else pa.array([], pa.string())
+    if rows is not None:
+        arr = arr.take(pa.array(np.asarray(rows, np.int64)))
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, np.uint8), np.zeros(0, np.int64)
+    width = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offs = np.frombuffer(
+        arr.buffers()[1], dtype=width, count=n + 1,
+        offset=arr.offset * np.dtype(width).itemsize).astype(np.int64)
+    data = arr.buffers()[2]
+    full = np.frombuffer(data, np.uint8) if data is not None \
+        else np.zeros(0, np.uint8)
+    return full[offs[0]:offs[n]], offs[1:] - offs[0]
+
+
+def _batch_anchors(contents: list[str], w: int,
+                   gap: int) -> tuple[np.ndarray, np.ndarray]:
+    """All anchor windows across a batch of docs (computed over ONE
+    concatenated buffer). List-of-str convenience wrapper over
+    :func:`_anchors_from_stream` (tests / small relations); batch hot
+    paths use :func:`_batch_anchors_col` on the Arrow column directly."""
+    enc = [c.encode() for c in contents]
+    lens = np.asarray([len(e) for e in enc], np.int64)
+    buf = np.frombuffer(b"".join(enc), np.uint8)
+    return _anchors_from_stream(buf, np.cumsum(lens), w, gap)
+
+
+def _batch_anchors_col(col, rows: np.ndarray | None, w: int,
+                       gap: int) -> tuple[np.ndarray, np.ndarray]:
+    """:func:`_batch_anchors` straight off an Arrow string column (row
+    subset optional) — no per-row Python string materialization."""
+    buf, ends = _col_stream(col, rows)
+    return _anchors_from_stream(buf, ends, w, gap)
+
+
 def _first_anchor(contents: list[str], w: int,
                   gap: int) -> tuple[np.ndarray, np.ndarray]:
     """(has_anchor bool mask, first anchor key per doc) — key undefined
     where the mask is False."""
-    d, keys = _batch_anchors(contents, w, gap)
-    n = len(contents)
+    return _first_from(len(contents), *_batch_anchors(contents, w, gap))
+
+
+def _first_anchor_col(col, rows: np.ndarray | None, w: int,
+                      gap: int) -> tuple[np.ndarray, np.ndarray]:
+    """Column-direct :func:`_first_anchor` (see :func:`_batch_anchors_col`)."""
+    buf, ends = _col_stream(col, rows)
+    n = len(ends)
+    return _first_from(n, *_anchors_from_stream(buf, ends, w, gap))
+
+
+def _first_from(n: int, d: np.ndarray, keys: np.ndarray
+                ) -> tuple[np.ndarray, np.ndarray]:
     has = np.zeros(n, dtype=bool)
     first = np.zeros(n, np.uint64)
     if d.size:
@@ -429,8 +485,6 @@ def containment_edges(corpus_with_ids: rd.Dataset,
             if rows.size:
                 fid = np.asarray(t.column("file_id").to_pylist(),
                                  dtype=object)[rows]
-                contents = [t.column("content")[int(i)].as_py() or ""
-                            for i in rows]
                 bk = _len_bucket(blen[rows])
                 sid = np.empty(rows.size, np.int64)
                 for g in set(gv[rows].tolist()):
@@ -440,7 +494,8 @@ def containment_edges(corpus_with_ids: rd.Dataset,
                     sub = (_shash(fid[gm]) % nsub[st].astype(np.uint64)) \
                         .astype(np.int64)
                     sid[gm] = off[st] + sub
-                d, keys = _batch_anchors(contents, min_len, gap)
+                d, keys = _batch_anchors_col(t.column("content"), rows,
+                                             min_len, gap)
                 if d.size:
                     df = pd.DataFrame({
                         "p": gv[rows][d], "h": keys.view(np.int64),
@@ -468,9 +523,8 @@ def containment_edges(corpus_with_ids: rd.Dataset,
             rows = np.flatnonzero(m)
             out = {k: [] for k in ("p", "h", "f", "b")}
             if rows.size:
-                contents = [t.column("content")[int(i)].as_py() or ""
-                            for i in rows]
-                has, first = _first_anchor(contents, min_len, gap)
+                has, first = _first_anchor_col(t.column("content"), rows,
+                                               min_len, gap)
                 sel = np.flatnonzero(has)
                 if sel.size:
                     fid = np.asarray(t.column("file_id").to_pylist(),
@@ -606,9 +660,8 @@ def containment_edges(corpus_with_ids: rd.Dataset,
                 # sentinels) take the length-pruned fanout
                 fan = np.ones(rows.size, dtype=bool)
                 if vmap is not None:
-                    contents_g = [t.column("content")[int(i)].as_py() or ""
-                                  for i in rows]
-                    has, _ = _first_anchor(contents_g, min_len, gap)
+                    has, _ = _first_anchor_col(t.column("content"), rows,
+                                               min_len, gap)
                     v_rows: list[int] = []
                     v_lists: list[np.ndarray] = []
                     for li in np.flatnonzero(has):

@@ -466,6 +466,35 @@ def test_semdedup_matches_bruteforce_and_tiling(ray_session):
     assert tiled.equals(out)
 
 
+def test_semdedup_sizing_warning(ray_session, caplog):
+    """The O(N^2/k) sizing guard: a projected mean cluster size above
+    warn_cluster_rows logs a warning naming the recommended n_clusters;
+    a well-sized run stays silent."""
+    import logging
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from deduplicate_ray.stages.similarity import semdedup
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    vecs = rng.standard_normal((60, 8))
+    emb = rd.from_arrow(pa.table({
+        "vec_id": np.arange(60, dtype=np.int64),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32()))}))
+    with caplog.at_level(logging.WARNING,
+                         logger="deduplicate_ray.stages.similarity"):
+        semdedup(emb, n_clusters=2, tau=0.9, seed=1,
+                 warn_cluster_rows=10).count()
+    assert any("n_clusters" in r.message and "sizing rule" in r.message
+               for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING,
+                         logger="deduplicate_ray.stages.similarity"):
+        semdedup(emb, n_clusters=4, tau=0.9, seed=1).count()
+    assert not [r for r in caplog.records if "sizing rule" in r.message]
+
+
 def test_pack_shards_matches_local_prefix_sum(ray_session):
     """Distributed two-level prefix sum == a local cumsum, on a gapped
     non-zero-based id space, across bucket counts (1 bucket = the

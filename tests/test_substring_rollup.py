@@ -175,6 +175,47 @@ def test_window_hash_kernel():
     assert set(k_i.tolist()) <= set(k_h.tolist())
 
 
+def test_anchor_column_path_matches_list_path():
+    """The zero-copy Arrow-column anchor kernels (_batch_anchors_col /
+    _first_anchor_col, buffer-sliced off the string column, optional row
+    subset) == the list-of-str wrappers, including nulls (read as empty),
+    unicode, a sliced column (non-zero array offset), chunked input, and
+    large_string layout."""
+    import numpy as np
+    import pyarrow as pa
+    from deduplicate_ray.stages.substring import (
+        _batch_anchors, _batch_anchors_col, _first_anchor,
+        _first_anchor_col)
+
+    docs = ["x" * 100,
+            "\n".join(f"def f{i}(x):\n    return x * {i}" for i in range(20)),
+            None, "", "naïve café über " * 20, "short",
+            "PREFIX" + "body " * 50 + "SUFFIX"]
+    w, gap = 32, 16
+    as_list = [(d or "") for d in docs]
+
+    for typ in (pa.string(), pa.large_string()):
+        col = pa.chunked_array([pa.array(docs[:3], typ),
+                                pa.array(docs[3:], typ)])
+        d0, k0 = _batch_anchors(as_list, w, gap)
+        d1, k1 = _batch_anchors_col(col, None, w, gap)
+        assert np.array_equal(d0, d1) and np.array_equal(k0, k1), typ
+        h0, f0 = _first_anchor(as_list, w, gap)
+        h1, f1 = _first_anchor_col(col, None, w, gap)
+        assert np.array_equal(h0, h1) and np.array_equal(f0[h0], f1[h1])
+
+        rows = np.array([1, 4, 6], np.int64)
+        ds, ks = _batch_anchors_col(col, rows, w, gap)
+        de, ke = _batch_anchors([as_list[i] for i in rows], w, gap)
+        assert np.array_equal(ds, de) and np.array_equal(ks, ke), typ
+
+    # non-zero offset: a sliced flat array shares the parent's buffers
+    flat = pa.array(docs, pa.string()).slice(1, 5)
+    d2, k2 = _batch_anchors_col(flat, None, w, gap)
+    de2, ke2 = _batch_anchors(as_list[1:6], w, gap)
+    assert np.array_equal(d2, de2) and np.array_equal(k2, ke2)
+
+
 def test_routing_fallbacks_match_unsharded():
     """Exactness of both degraded modes: visits budget blown (-> full
     length-pruned fanout) and anchor group cap blown (-> per-query
