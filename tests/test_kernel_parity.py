@@ -3,14 +3,15 @@
 The pinned-relation oracles (tools/pin_hashes.py) let DuckDB recompute
 pairing/bucketing/top-k logic independently, but the hash kernels
 themselves (MinHash signature, SimHash, hyperplane signs, rolling
-fingerprint) are pinned from the engine's own code — a kernel bug that
+fingerprint, IVF k-means centroids) are pinned from the engine's own code — a kernel bug that
 shifts both sides equally would pass. These tests close that loop: each
 kernel family is recomputed here with a NAIVE pure-Python
 implementation written directly from the published construction
 (per-window polynomial hash + splitmix64 + per-perm multiply-add min;
 per-token crc bit voting; per-plane dot-product sign; per-window min
-hash) sharing NO array code with the production kernels, and asserted
-bit-equal. Reference analog: the reference validates dup groups against
+hash; per-point spherical Lloyd's) sharing NO array code with the
+production kernels, and asserted bit-equal (float kernels: equal to
+within accumulation-order ulps). Reference analog: the reference validates dup groups against
 structurally-KNOWN trees rather than against its own grouping code
 (`/root/reference/test_dupe_analysis.py:174-195`) — an oracle that does
 not share code with the implementation. tools/pin_hashes.py cites this
@@ -129,6 +130,61 @@ def test_hyperplane_signs_parity_naive():
             if dot >= 0:
                 expect |= 1 << p
         assert int(got[i]) == expect, i
+
+
+def test_kmeans_centroids_parity_naive():
+    """Spherical Lloyd's recomputed with per-point pure-Python loops.
+    The seeded init DRAW is a construction parameter read off the same
+    public numpy Generator call (like the MinHash perm constants); the
+    logic recomputed here is normalization, the lexsort canonicalization,
+    nearest-centroid assignment (first-max tie-break) and the per-cluster
+    mean + renormalize update. Float means accumulate in a different
+    order than numpy's pairwise sum, so parity is asserted to 1e-9
+    relative — far below anything a construction bug could hide under."""
+    import math
+
+    from deduplicate_ray.stages.similarity import train_kmeans
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    sample = rng.standard_normal((120, 8))
+    n_lists, iters, seed = 5, 4, 42
+    got = train_kmeans(sample, n_lists, iters=iters, seed=seed)
+
+    def norm_rows(rows):
+        out = []
+        for r in rows:
+            n2 = 0.0
+            for v in r:
+                n2 += float(v) * float(v)
+            n = math.sqrt(n2) or 1.0
+            out.append([float(v) / n for v in r])
+        return out
+
+    s = norm_rows(sample.tolist())
+    # np.lexsort(s.T) sorts points by the LAST component primarily
+    s.sort(key=lambda row: tuple(reversed(row)))
+    init = np.random.Generator(np.random.PCG64(seed)).choice(
+        len(s), size=n_lists, replace=False)
+    cents = [list(s[i]) for i in init]
+    for _ in range(iters):
+        assign = []
+        for row in s:
+            best, bi = None, 0
+            for c, cent in enumerate(cents):
+                dot = 0.0
+                for a, b in zip(row, cent):
+                    dot += a * b
+                if best is None or dot > best:
+                    best, bi = dot, c
+            assign.append(bi)
+        for c in range(n_lists):
+            members = [s[i] for i in range(len(s)) if assign[i] == c]
+            if members:
+                cents[c] = [sum(col) / len(members)
+                            for col in zip(*members)]
+        cents = norm_rows(cents)
+    assert got.shape == (n_lists, sample.shape[1])
+    assert np.allclose(got, np.array(cents), rtol=1e-9, atol=1e-12)
 
 
 def test_rolling_fingerprint_parity_naive():
